@@ -1,0 +1,142 @@
+"""Fixed-shape op kernels vs dynamic NumPy/SciPy/cv2 oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpupose.config import LIMBS, NUM_JOINTS, InferenceConfig
+from tpupose.ops import (
+    compute_optimal_size,
+    find_peaks,
+    gaussian_blur_reflect,
+    global_argmax_keypoints,
+    resize_chainer,
+    resize_cv2_cubic,
+    resize_cv2_linear,
+)
+
+from oracles import oracle_peaks
+
+CFG = InferenceConfig(max_peaks_per_joint=16)
+
+
+# ---------------------------------------------------------------------------
+# resize
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((23, 31), (46, 62)),
+                                          ((40, 40), (17, 29)),
+                                          ((8, 8), (64, 64))])
+def test_resize_cv2_linear_matches_cv2(in_hw, out_hw):
+    import cv2
+    rng = np.random.RandomState(0)
+    x = rng.rand(*in_hw, 3).astype(np.float32)
+    ref = cv2.resize(x, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_LINEAR)
+    got = np.asarray(resize_cv2_linear(jnp.asarray(x), out_hw))
+    np.testing.assert_allclose(got, ref, atol=2e-3)  # cv2 is fixed-point
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((23, 31), (46, 62)),
+                                          ((12, 20), (89, 67))])
+def test_resize_cv2_cubic_matches_cv2(in_hw, out_hw):
+    import cv2
+    rng = np.random.RandomState(1)
+    x = rng.rand(*in_hw, 3).astype(np.float32)
+    ref = cv2.resize(x, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_CUBIC)
+    got = np.asarray(resize_cv2_cubic(jnp.asarray(x), out_hw))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_resize_chainer_align_corners():
+    """Chainer F.resize_images parity: align-corners bilinear oracle."""
+    rng = np.random.RandomState(2)
+    x = rng.rand(9, 13, 2).astype(np.float32)
+    out_h, out_w = 33, 21
+    # Direct oracle: src = dst * (in-1)/(out-1).
+    ys = np.arange(out_h) * (x.shape[0] - 1) / (out_h - 1)
+    xs = np.arange(out_w) * (x.shape[1] - 1) / (out_w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, x.shape[0] - 1)
+    x1 = np.minimum(x0 + 1, x.shape[1] - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    ref = ((1 - wy) * (1 - wx) * x[y0][:, x0]
+           + (1 - wy) * wx * x[y0][:, x1]
+           + wy * (1 - wx) * x[y1][:, x0]
+           + wy * wx * x[y1][:, x1])
+    got = np.asarray(resize_chainer(jnp.asarray(x), (out_h, out_w)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_compute_optimal_size():
+    """Parity with pose_detector.py:57-73 on sample geometries."""
+    # Landscape 480x640 @368: h<w -> h=368, w=round(368*640/480)=491 -> 496.
+    assert compute_optimal_size(480, 640, 368) == (496, 368)
+    # Portrait 640x480: w=368, h=round(368*640/480)=491 -> 496.
+    assert compute_optimal_size(640, 480, 368) == (368, 496)
+    # Exact multiple stays.
+    assert compute_optimal_size(368, 368, 368) == (368, 368)
+
+
+# ---------------------------------------------------------------------------
+# gaussian blur
+# ---------------------------------------------------------------------------
+
+
+def test_gaussian_blur_matches_scipy():
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.RandomState(3)
+    x = rng.rand(4, 37, 53).astype(np.float32)
+    ref = np.stack([gaussian_filter(x[i], sigma=2.5) for i in range(4)])
+    got = np.asarray(gaussian_blur_reflect(jnp.asarray(x), 2.5))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# peaks
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_heatmaps(rng, num_joints=NUM_JOINTS, hw=(46, 54), n_blobs=3):
+    h, w = hw
+    maps = np.zeros((num_joints, h, w), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for j in range(num_joints):
+        for _ in range(rng.randint(1, n_blobs + 1)):
+            cy, cx = rng.randint(3, h - 3), rng.randint(3, w - 3)
+            amp = 0.3 + 0.7 * rng.rand()
+            maps[j] += amp * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 2.0 ** 2))
+    return maps
+
+
+def test_find_peaks_matches_oracle():
+    rng = np.random.RandomState(4)
+    heatmaps = _synthetic_heatmaps(rng)
+    ref = oracle_peaks(heatmaps, CFG)
+    got = find_peaks(jnp.asarray(heatmaps), CFG.gaussian_sigma,
+                     CFG.heatmap_peak_thresh, CFG.max_peaks_per_joint)
+    for j in range(NUM_JOINTS):
+        n = int(np.sum(np.asarray(got.valid[j])))
+        assert n == len(ref[j]), f"joint {j}: {n} vs {len(ref[j])}"
+        for k, (x, y, score) in enumerate(ref[j]):
+            assert int(got.x[j, k]) == x
+            assert int(got.y[j, k]) == y
+            np.testing.assert_allclose(float(got.score[j, k]), score,
+                                       atol=1e-5)
+
+
+def test_global_argmax_keypoints():
+    rng = np.random.RandomState(5)
+    heatmaps = _synthetic_heatmaps(rng, num_joints=5, n_blobs=1)
+    from scipy.ndimage import gaussian_filter
+    xs, ys, score, valid = global_argmax_keypoints(
+        jnp.asarray(heatmaps), 2.5, 0.1)
+    for c in range(5):
+        sm = gaussian_filter(heatmaps[c], sigma=2.5)
+        ref_y, ref_x = np.unravel_index(np.argmax(sm), sm.shape)
+        assert int(xs[c]) == ref_x and int(ys[c]) == ref_y
+        np.testing.assert_allclose(float(score[c]), sm.max(), atol=1e-5)
+        assert bool(valid[c]) == (sm.max() > 0.1)

@@ -1,0 +1,189 @@
+"""PAF matching + grouping + full postprocess vs the NumPy oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpupose.config import LIMBS, NUM_JOINTS, NUM_LIMBS, InferenceConfig
+from tpupose.ops import postprocess_pose
+from tpupose.ops.grouping import (
+    group_keypoints,
+    group_keypoints_numpy,
+    subsets_to_poses,
+)
+from tpupose.ops.paf import Connections, compute_connections
+from tpupose.ops.peaks import Peaks, find_peaks
+
+from oracles import oracle_connections, oracle_peaks
+
+CFG = InferenceConfig(max_peaks_per_joint=8, max_subsets=32)
+
+
+def _render_scene(rng, n_people=3, hw=(46, 62)):
+    """Render synthetic heatmaps+PAFs from random, well-separated poses."""
+    h, w = hw
+    heatmaps = np.zeros((NUM_JOINTS + 1, h, w), np.float32)
+    pafs = np.zeros((2 * NUM_LIMBS, h, w), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    poses = []
+    for p in range(n_people):
+        cx = 8 + (w - 16) * (p + 0.5) / n_people + rng.uniform(-2, 2)
+        cy = h / 2 + rng.uniform(-6, 6)
+        joints = {}
+        for j in range(NUM_JOINTS):
+            if rng.rand() < 0.15:
+                continue  # drop some joints
+            joints[j] = (cx + rng.uniform(-6, 6), cy + rng.uniform(-12, 12))
+        poses.append(joints)
+
+    for joints in poses:
+        for j, (x, y) in joints.items():
+            heatmaps[j] += np.exp(
+                -((yy - y) ** 2 + (xx - x) ** 2) / (2 * 1.5 ** 2))
+        for l, (ja, jb) in enumerate(LIMBS):
+            if ja not in joints or jb not in joints:
+                continue
+            ax, ay = joints[ja]
+            bx, by = joints[jb]
+            vx, vy = bx - ax, by - ay
+            norm = np.hypot(vx, vy)
+            if norm < 1e-3:
+                continue
+            ux, uy = vx / norm, vy / norm
+            d_along = ux * (xx - ax) + uy * (yy - ay)
+            d_perp = np.abs(-uy * (xx - ax) + ux * (yy - ay))
+            band = (d_along >= 0) & (d_along <= norm) & (d_perp <= 2.0)
+            pafs[2 * l][band] = ux
+            pafs[2 * l + 1][band] = uy
+    heatmaps = np.clip(heatmaps, 0, 1)
+    return pafs, heatmaps
+
+
+def _peaks_from_oracle(ref_peaks, k):
+    """Pack the oracle's dynamic peak lists into a static Peaks table."""
+    x = np.zeros((NUM_JOINTS, k), np.float32)
+    y = np.zeros((NUM_JOINTS, k), np.float32)
+    s = np.zeros((NUM_JOINTS, k), np.float32)
+    v = np.zeros((NUM_JOINTS, k), bool)
+    for j, plist in enumerate(ref_peaks):
+        for i, (px, py, ps) in enumerate(plist[:k]):
+            x[j, i], y[j, i], s[j, i], v[j, i] = px, py, ps, True
+    return Peaks(x=jnp.asarray(x), y=jnp.asarray(y), score=jnp.asarray(s),
+                 valid=jnp.asarray(v))
+
+
+def _connections_to_lists(conn: Connections):
+    out = []
+    for l in range(NUM_LIMBS):
+        valid = np.asarray(conn.valid[l])
+        out.append([
+            (int(conn.a_slot[l, i]), int(conn.b_slot[l, i]),
+             float(conn.score[l, i]))
+            for i in range(valid.shape[0]) if valid[i]
+        ])
+    return out
+
+
+def test_connections_match_oracle():
+    rng = np.random.RandomState(7)
+    pafs, heatmaps = _render_scene(rng)
+    ref_peaks = oracle_peaks(heatmaps[:-1], CFG)
+    peaks = _peaks_from_oracle(ref_peaks, CFG.max_peaks_per_joint)
+    img_len = heatmaps.shape[2]
+
+    limbs_a = jnp.asarray([a for a, _ in LIMBS], jnp.int32)
+    limbs_b = jnp.asarray([b for _, b in LIMBS], jnp.int32)
+    got = _connections_to_lists(compute_connections(
+        jnp.asarray(pafs), peaks, img_len, CFG, limbs_a, limbs_b))
+    ref = oracle_connections(pafs, ref_peaks, img_len, CFG)
+
+    for l in range(NUM_LIMBS):
+        assert len(got[l]) == len(ref[l]), f"limb {l}"
+        for (ga, gb, gs), (ra, rb, rs) in zip(got[l], ref[l]):
+            assert (ga, gb) == (ra, rb), f"limb {l}: {got[l]} vs {ref[l]}"
+            np.testing.assert_allclose(gs, rs, atol=1e-5)
+
+
+def test_grouping_matches_oracle():
+    rng = np.random.RandomState(8)
+    for trial in range(5):
+        pafs, heatmaps = _render_scene(rng, n_people=2 + trial % 3)
+        ref_peaks = oracle_peaks(heatmaps[:-1], CFG)
+        peaks = _peaks_from_oracle(ref_peaks, CFG.max_peaks_per_joint)
+        img_len = heatmaps.shape[2]
+        ref_conns = oracle_connections(pafs, ref_peaks, img_len, CFG)
+
+        peak_scores = np.asarray(peaks.score)
+        ref_subsets = group_keypoints_numpy(ref_conns, peak_scores, CFG)
+
+        # Feed identical connections to the device implementation.
+        k = CFG.max_peaks_per_joint
+        a = np.full((NUM_LIMBS, k), -1, np.int32)
+        b = np.full((NUM_LIMBS, k), -1, np.int32)
+        s = np.zeros((NUM_LIMBS, k), np.float32)
+        v = np.zeros((NUM_LIMBS, k), bool)
+        for l, conns in enumerate(ref_conns):
+            for i, (ia, ib, sc) in enumerate(conns):
+                a[l, i], b[l, i], s[l, i], v[l, i] = ia, ib, sc, True
+        conn = Connections(a_slot=jnp.asarray(a), b_slot=jnp.asarray(b),
+                           score=jnp.asarray(s), valid=jnp.asarray(v))
+
+        got = group_keypoints(conn, peaks, CFG)
+        got_rows = [
+            (tuple(np.asarray(got.joint_slot[i])), float(got.score[i]),
+             float(got.count[i]))
+            for i in range(CFG.max_subsets) if bool(got.valid[i])
+        ]
+        ref_rows = [
+            (tuple(r["j"]), float(r["score"]), float(r["count"]))
+            for r in ref_subsets
+        ]
+        assert len(got_rows) == len(ref_rows), f"trial {trial}"
+        # Order-insensitive comparison of kept subsets (active-slot order
+        # can differ from compacted order only in position, not content).
+        for gr in got_rows:
+            match = [
+                rr for rr in ref_rows
+                if rr[0] == gr[0]
+                and abs(rr[1] - gr[1]) < 1e-4 and abs(rr[2] - gr[2]) < 1e-4
+            ]
+            assert match, f"trial {trial}: {gr} not in {ref_rows}"
+
+
+def test_full_postprocess_matches_oracle_pipeline():
+    rng = np.random.RandomState(9)
+    pafs, heatmaps = _render_scene(rng, n_people=3)
+    img_len = heatmaps.shape[2]
+
+    # Oracle pipeline.
+    ref_peaks = oracle_peaks(heatmaps[:-1], CFG)
+    ref_conns = oracle_connections(pafs, ref_peaks, img_len, CFG)
+    peak_scores = np.zeros((NUM_JOINTS, CFG.max_peaks_per_joint), np.float32)
+    for j, plist in enumerate(ref_peaks):
+        for i, (_, _, ps) in enumerate(plist[:CFG.max_peaks_per_joint]):
+            peak_scores[j, i] = ps
+    ref_subsets = group_keypoints_numpy(ref_conns, peak_scores, CFG)
+    ref_poses = set()
+    for r in ref_subsets:
+        joints = []
+        for j in range(NUM_JOINTS):
+            slot = r["j"][j]
+            if slot >= 0:
+                px, py, _ = ref_peaks[j][slot]
+                joints.append((px, py, 2))
+            else:
+                joints.append((0, 0, 0))
+        ref_poses.add(tuple(joints))
+
+    # Device pipeline.
+    result = postprocess_pose(jnp.asarray(pafs), jnp.asarray(heatmaps),
+                              img_len, CFG)
+    got_poses = set()
+    for i in range(CFG.max_subsets):
+        if bool(result.valid[i]):
+            pose = np.asarray(result.poses[i])
+            got_poses.add(tuple(
+                (int(x), int(y), int(v)) for x, y, v in pose))
+
+    assert got_poses == ref_poses
+    assert int(result.num_peaks) == sum(len(p) for p in ref_peaks)

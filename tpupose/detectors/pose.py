@@ -1,0 +1,218 @@
+"""PoseDetector: the multi-person pose inference engine.
+
+API-compatible facade over the TPU pipeline, mirroring
+``/root/reference/pose_detector.py:15-517``: ``detector(img) -> (poses,
+scores)`` with ``poses: (N, 18, 3)`` rows of ``(x, y, 2)`` in original image
+pixels.
+
+TPU-first design differences from the reference (same results):
+
+* The whole device path — normalize, CNN forward, map resize, Gaussian
+  smoothing, peak NMS, PAF scoring, greedy matching, grouping — is ONE
+  jitted function per input geometry; the host<->device boundary is crossed
+  exactly twice per frame (reference: same for the forward, but its entire
+  postprocess is single-threaded NumPy, SURVEY.md section 3.1).
+* Precise (multi-scale) mode keeps the per-scale output maps on device and
+  averages them at original resolution there (the reference round-trips
+  through cv2 on host per scale, ``pose_detector.py:441-470``).
+* Resize semantics are matched call-site-for-call-site: host cv2 resize for
+  the uint8 input image (bit-identical), Chainer align-corners resize for
+  output maps in fast mode (``:501-502``), cv2 INTER_CUBIC parity resize
+  for precise-mode maps (``:439,461-467``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpupose.config import INFERENCE, NUM_JOINTS, InferenceConfig
+from tpupose.models import ARCHS
+from tpupose.ops.postprocess import postprocess_pose
+from tpupose.ops.resize import (
+    compute_optimal_size,
+    resize_chainer,
+    resize_cv2_cubic,
+)
+from tpupose.weights import params_from_npz_auto
+
+
+def preprocess_u8(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 HWC -> normalized float HWC (ref ``pose_detector.py:426-431``,
+    /255 - 0.5; layout stays NHWC on TPU instead of NCHW)."""
+    return img_u8.astype(jnp.float32) / 255.0 - 0.5
+
+
+def pad_image_np(img: np.ndarray, stride: int,
+                 pad_value: Tuple[int, int, int]):
+    """Pad bottom/right to a stride multiple with a constant BGR value
+    (ref ``pose_detector.py:46-55``)."""
+    h, w = img.shape[:2]
+    pad_b = (stride - h % stride) % stride
+    pad_r = (stride - w % stride) % stride
+    out = np.empty((h + pad_b, w + pad_r, 3), np.uint8)
+    out[...] = np.asarray(pad_value, np.uint8)
+    out[:h, :w] = img
+    return out, (pad_b, pad_r)
+
+
+class PoseDetector:
+    """Multi-person pose detector running the full pipeline on TPU."""
+
+    def __init__(self, arch: str = "posenet",
+                 weights_file: Optional[str] = None,
+                 params=None,
+                 precise: bool = False,
+                 cfg: InferenceConfig = INFERENCE,
+                 compute_dtype=jnp.float32):
+        self.arch = arch
+        self.precise = precise
+        self.cfg = cfg
+        self.model = ARCHS[arch](dtype=compute_dtype)
+        if params is not None:
+            self.variables = params if "params" in params else {
+                "params": params}
+        elif weights_file:
+            self.variables, _ = params_from_npz_auto(weights_file, self.model)
+        else:
+            dummy = jnp.zeros((1, 368, 368, 3), jnp.float32)
+            self.variables = self.model.init(jax.random.PRNGKey(0), dummy)
+        # jit caches keyed by static geometry.
+        self._fast_fns: Dict[tuple, object] = {}
+        self._scale_fns: Dict[tuple, object] = {}
+        self._avg_fns: Dict[tuple, object] = {}
+
+    # ------------------------------------------------------------------
+    # fast single-scale path (ref ``pose_detector.py:484-517``)
+    # ------------------------------------------------------------------
+
+    def _fast_fn(self, in_hw: Tuple[int, int], map_hw: Tuple[int, int]):
+        key = (in_hw, map_hw)
+        if key not in self._fast_fns:
+            cfg = self.cfg
+            model = self.model
+
+            def fn(variables, img_u8):
+                x = preprocess_u8(img_u8)[None]
+                pafs, heatmaps = model.apply(variables, x)
+                paf = resize_chainer(pafs[-1, 0], map_hw)       # (h, w, 38)
+                hm = resize_chainer(heatmaps[-1, 0], map_hw)    # (h, w, 19)
+                return postprocess_pose(
+                    jnp.transpose(paf, (2, 0, 1)),
+                    jnp.transpose(hm, (2, 0, 1)),
+                    jnp.float32(map_hw[1]), cfg)
+
+            self._fast_fns[key] = jax.jit(fn)
+        return self._fast_fns[key]
+
+    def _detect_fast(self, orig_img: np.ndarray):
+        import cv2
+
+        orig_h, orig_w = orig_img.shape[:2]
+        input_w, input_h = compute_optimal_size(
+            orig_h, orig_w, self.cfg.img_size, self.cfg.downscale)
+        map_w, map_h = compute_optimal_size(
+            orig_h, orig_w, self.cfg.heatmap_size, self.cfg.downscale)
+
+        resized = cv2.resize(orig_img, (input_w, input_h))
+        fn = self._fast_fn((input_h, input_w), (map_h, map_w))
+        result = fn(self.variables, jnp.asarray(resized))
+        return self._emit(result, scale_x=orig_w / map_w,
+                          scale_y=orig_h / map_h)
+
+    # ------------------------------------------------------------------
+    # precise multi-scale path (ref ``pose_detector.py:433-482``)
+    # ------------------------------------------------------------------
+
+    def _scale_fn(self, padded_hw: Tuple[int, int],
+                  pad: Tuple[int, int], orig_hw: Tuple[int, int]):
+        key = (padded_hw, pad, orig_hw)
+        if key not in self._scale_fns:
+            model = self.model
+            p_h, p_w = padded_hw
+            pad_b, pad_r = pad
+            o_h, o_w = orig_hw
+
+            def fn(variables, img_u8):
+                x = preprocess_u8(img_u8)[None]
+                pafs, heatmaps = model.apply(variables, x)
+                paf = pafs[-1, 0]        # (h/8, w/8, 38)
+                hm = heatmaps[-1, 0]     # (h/8, w/8, 19)
+                # PAF: cubic to padded size, crop the pad, cubic to orig
+                # (ref ``:461-463``).
+                paf = resize_cv2_cubic(paf, (p_h, p_w))
+                paf = paf[:p_h - pad_b, :p_w - pad_r]
+                paf = resize_cv2_cubic(paf, (o_h, o_w))
+                # Heatmap: cubic x8 (== padded size), crop, cubic to orig
+                # (ref ``:465-467``).
+                hm = resize_cv2_cubic(hm, (p_h, p_w))
+                hm = hm[:p_h - pad_b, :p_w - pad_r]
+                hm = resize_cv2_cubic(hm, (o_h, o_w))
+                return paf, hm
+
+            self._scale_fns[key] = jax.jit(fn)
+        return self._scale_fns[key]
+
+    def _avg_postprocess_fn(self, orig_hw: Tuple[int, int], n_scales: int):
+        key = (orig_hw, n_scales)
+        if key not in self._avg_fns:
+            cfg = self.cfg
+            o_w = orig_hw[1]
+
+            def fn(paf_list, hm_list):
+                paf = sum(paf_list) / n_scales
+                hm = sum(hm_list) / n_scales
+                return postprocess_pose(
+                    jnp.transpose(paf, (2, 0, 1)),
+                    jnp.transpose(hm, (2, 0, 1)),
+                    jnp.float32(o_w), cfg)
+
+            self._avg_fns[key] = jax.jit(fn)
+        return self._avg_fns[key]
+
+    def detect_precise(self, orig_img: np.ndarray):
+        import cv2
+        import math
+
+        orig_h, orig_w = orig_img.shape[:2]
+        paf_list, hm_list = [], []
+        for scale in self.cfg.scales:
+            multiplier = scale * self.cfg.img_size / min(orig_h, orig_w)
+            img = cv2.resize(
+                orig_img,
+                (math.ceil(orig_w * multiplier),
+                 math.ceil(orig_h * multiplier)),
+                interpolation=cv2.INTER_CUBIC)
+            padded, pad = pad_image_np(
+                img, self.cfg.downscale, self.cfg.pad_value)
+            fn = self._scale_fn(padded.shape[:2], pad, (orig_h, orig_w))
+            paf, hm = fn(self.variables, jnp.asarray(padded))
+            paf_list.append(paf)
+            hm_list.append(hm)
+
+        fn = self._avg_postprocess_fn((orig_h, orig_w), len(self.cfg.scales))
+        result = fn(paf_list, hm_list)
+        return self._emit(result, scale_x=1.0, scale_y=1.0)
+
+    # ------------------------------------------------------------------
+
+    def _emit(self, result, scale_x: float, scale_y: float):
+        """Rescale to original pixels and compact to dynamic (N, 18, 3)
+        arrays (ref ``pose_detector.py:513-517``)."""
+        valid = np.asarray(result.valid)
+        if int(np.asarray(result.num_peaks)) == 0 or not valid.any():
+            return (np.empty((0, NUM_JOINTS, 3)), np.empty(0))
+        poses = np.asarray(result.poses)[valid]
+        scores = np.asarray(result.scores)[valid]
+        present = poses[:, :, 2] > 0
+        poses[:, :, 0] = np.where(present, poses[:, :, 0] * scale_x, 0.0)
+        poses[:, :, 1] = np.where(present, poses[:, :, 1] * scale_y, 0.0)
+        return poses, scores
+
+    def __call__(self, orig_img: np.ndarray):
+        if self.precise:
+            return self.detect_precise(orig_img)
+        return self._detect_fast(orig_img)

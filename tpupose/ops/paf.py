@@ -1,0 +1,161 @@
+"""PAF line-integral limb scoring + greedy bipartite matching, fixed-shape.
+
+Re-design of the reference's hottest host loop
+(``/root/reference/pose_detector.py:135-181``): for every limb and every
+candidate (joint_a, joint_b) peak pair, integrate the part-affinity field
+along the segment (10 rounded sample points), dot with the segment's unit
+vector, apply a distance prior, and validity-gate; then greedily 1:1-match
+candidates per limb in descending score order.
+
+The dynamic pair lists become a dense ``(num_limbs, K, K)`` score/valid
+tensor computed by one batched gather + einsum — exactly the fixed-shape
+reformulation SURVEY.md section 7 step 3 calls for.  Greedy matching is a
+``lax.scan`` over the stably-sorted candidate list, preserving the
+reference's tie-breaking (enumeration order a-major then b, as produced by
+the nested loops at ``:137-138`` and Python's stable ``sorted`` at ``:158``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpupose.config import InferenceConfig
+from tpupose.ops.peaks import Peaks
+
+
+class Connections(NamedTuple):
+    """Static-shape accepted connections per limb.
+
+    a_slot, b_slot: (L, K) int32 peak slot indices into the per-joint peak
+                    tables (-1 when the entry is unused)
+    score:          (L, K) float32 connection integral score
+    valid:          (L, K) bool, True for accepted connections, in greedy
+                    acceptance order (descending score)
+    """
+
+    a_slot: jnp.ndarray
+    b_slot: jnp.ndarray
+    score: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def score_candidates(paf: jnp.ndarray, ax, ay, a_valid, bx, by, b_valid,
+                     img_len, cfg: InferenceConfig):
+    """Dense candidate scores for one limb.
+
+    paf: (2, H, W) — channel 0 = x component, 1 = y component (reference
+    layout ``pose_detector.py:147``).  ax..b_valid: (K,) peak tables.
+    Returns (scores, valid): (K, K) with rows = joint_a candidates.
+    """
+    k = ax.shape[0]
+    h, w = paf.shape[-2:]
+    n_pts = cfg.n_integ_points
+
+    vx = bx[None, :] - ax[:, None]          # (K, K)
+    vy = by[None, :] - ay[:, None]
+    norm = jnp.sqrt(vx * vx + vy * vy)
+    nonzero = norm > 0
+    safe_norm = jnp.where(nonzero, norm, 1.0)
+    ux, uy = vx / safe_norm, vy / safe_norm
+
+    # 10 sample points, linspace inclusive of both endpoints, rounded with
+    # numpy's round-half-to-even (jnp.round matches np.round).
+    t = jnp.linspace(0.0, 1.0, n_pts)       # (P,)
+    xs = ax[:, None, None] + vx[:, :, None] * t  # (K, K, P)
+    ys = ay[:, None, None] + vy[:, :, None] * t
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
+    flat_idx = yi * w + xi                   # (K, K, P)
+
+    paf_x = jnp.take(paf[0].reshape(-1), flat_idx)
+    paf_y = jnp.take(paf[1].reshape(-1), flat_idx)
+    inner = paf_x * ux[:, :, None] + paf_y * uy[:, :, None]  # (K, K, P)
+
+    integ = jnp.mean(inner, axis=-1)
+    penalty = jnp.minimum(
+        cfg.limb_length_ratio * img_len / safe_norm - cfg.length_penalty_value,
+        0.0)
+    score = integ + penalty
+
+    n_valid_pts = jnp.sum(inner > cfg.inner_product_thresh, axis=-1)
+    valid = (
+        nonzero
+        & (n_valid_pts > cfg.n_integ_points_thresh)
+        & (score > 0.0)
+        & a_valid[:, None]
+        & b_valid[None, :]
+    )
+    return score, valid
+
+
+def greedy_match(score: jnp.ndarray, valid: jnp.ndarray, n_a, n_b):
+    """Greedy 1:1 matching for one limb (ref ``pose_detector.py:172-177``).
+
+    score/valid: (K, K).  Candidates are visited in descending score with
+    stable ties in a-major enumeration order; a candidate is accepted when
+    neither endpoint is already used, stopping after ``min(n_a, n_b)``
+    acceptances.  Returns (a_slot, b_slot, out_score, out_valid): (K,).
+    """
+    k = score.shape[0]
+    flat_score = jnp.where(valid.reshape(-1), score.reshape(-1), -jnp.inf)
+    order = jnp.argsort(-flat_score, stable=True)      # (K*K,)
+    max_conn = jnp.minimum(n_a, n_b).astype(jnp.int32)
+
+    def step(carry, cand_idx):
+        used_a, used_b, n_taken, out_a, out_b, out_s = carry
+        a = cand_idx // k
+        b = cand_idx % k
+        s = flat_score[cand_idx]
+        take = (
+            jnp.isfinite(s)
+            & ~used_a[a]
+            & ~used_b[b]
+            & (n_taken < max_conn)
+        )
+        used_a = used_a.at[a].set(used_a[a] | take)
+        used_b = used_b.at[b].set(used_b[b] | take)
+        out_a = jnp.where(take, out_a.at[n_taken].set(a), out_a)
+        out_b = jnp.where(take, out_b.at[n_taken].set(b), out_b)
+        out_s = jnp.where(take, out_s.at[n_taken].set(s), out_s)
+        n_taken = n_taken + take.astype(jnp.int32)
+        return (used_a, used_b, n_taken, out_a, out_b, out_s), None
+
+    init = (
+        jnp.zeros((k,), bool), jnp.zeros((k,), bool), jnp.int32(0),
+        jnp.full((k,), -1, jnp.int32), jnp.full((k,), -1, jnp.int32),
+        jnp.zeros((k,), jnp.float32),
+    )
+    (used_a, used_b, n_taken, out_a, out_b, out_s), _ = jax.lax.scan(
+        step, init, order)
+    out_valid = jnp.arange(k) < n_taken
+    return out_a, out_b, out_s, out_valid
+
+
+def compute_connections(pafs: jnp.ndarray, peaks: Peaks, img_len,
+                        cfg: InferenceConfig,
+                        limbs_a: jnp.ndarray,
+                        limbs_b: jnp.ndarray) -> Connections:
+    """All-limb candidate scoring + matching.
+
+    pafs: (2*L, H, W) with limb i in channels (2i, 2i+1).
+    limbs_a/limbs_b: (L,) int32 joint indices of each limb's endpoints.
+    """
+    num_limbs = limbs_a.shape[0]
+    paf_pairs = pafs.reshape(num_limbs, 2, *pafs.shape[-2:])
+
+    def per_limb(paf, ja, jb):
+        ax, ay = peaks.x[ja], peaks.y[ja]
+        bx, by = peaks.x[jb], peaks.y[jb]
+        av, bv = peaks.valid[ja], peaks.valid[jb]
+        score, valid = score_candidates(
+            paf, ax, ay, av, bx, by, bv, img_len, cfg)
+        n_a = jnp.sum(av).astype(jnp.int32)
+        n_b = jnp.sum(bv).astype(jnp.int32)
+        return greedy_match(score, valid, n_a, n_b)
+
+    a_slot, b_slot, score, valid = jax.vmap(per_limb)(
+        paf_pairs, limbs_a, limbs_b)
+    return Connections(a_slot=a_slot, b_slot=b_slot, score=score, valid=valid)

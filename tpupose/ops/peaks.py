@@ -1,0 +1,128 @@
+"""Fixed-shape heatmap peak extraction (NMS) for TPU.
+
+Re-design of the reference's dynamic host loop
+(``/root/reference/pose_detector.py:75-110``, CPU path = parity target):
+per joint channel, Gaussian-smooth then keep pixels that are
+
+* strictly greater than ``heatmap_peak_thresh`` and
+* strictly greater than all 4 neighbors, with out-of-image neighbors
+  treated as 0 (the reference compares against zero-initialized shift
+  buffers at ``:87-102``).
+
+Dynamic peak lists become a static ``(num_joints, K)`` table ordered by the
+reference's enumeration order (row-major scan: ascending y, then x — the
+order of ``np.nonzero`` at ``:104``), with a validity mask.  Scores are the
+*smoothed* heatmap values, as in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpupose.ops.gaussian import gaussian_blur_reflect
+
+
+class Peaks(NamedTuple):
+    """Static-shape peak table.
+
+    x, y:   (J, K) float32 peak coordinates (heatmap pixel space)
+    score:  (J, K) float32 smoothed-heatmap value at the peak
+    valid:  (J, K) bool
+    """
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    score: jnp.ndarray
+    valid: jnp.ndarray
+
+    @property
+    def counts(self) -> jnp.ndarray:
+        """(J,) number of valid peaks per joint."""
+        return jnp.sum(self.valid, axis=1)
+
+
+def nms_mask(smoothed: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """4-neighbor strict local-max mask with zero borders.
+
+    smoothed: (..., H, W) -> bool mask of the same shape.
+    """
+    h = smoothed
+    up = jnp.pad(h[..., :-1, :], [(0, 0)] * (h.ndim - 2) + [(1, 0), (0, 0)])
+    down = jnp.pad(h[..., 1:, :], [(0, 0)] * (h.ndim - 2) + [(0, 1), (0, 0)])
+    left = jnp.pad(h[..., :, :-1], [(0, 0)] * (h.ndim - 2) + [(0, 0), (1, 0)])
+    right = jnp.pad(h[..., :, 1:], [(0, 0)] * (h.ndim - 2) + [(0, 0), (0, 1)])
+    return (
+        (h > thresh) & (h > up) & (h > down) & (h > left) & (h > right)
+    )
+
+
+def extract_peaks(mask: jnp.ndarray, smoothed: jnp.ndarray,
+                  max_peaks: int) -> Peaks:
+    """Select up to ``max_peaks`` peaks per joint in row-major scan order.
+
+    mask, smoothed: (J, H, W).  If a joint has more than ``max_peaks``
+    peaks, the later ones (in scan order) are dropped — the reference keeps
+    all, but >K peaks of one joint type in a single image is far beyond any
+    realistic crowd at K=32.
+    """
+    j, h, w = mask.shape
+    hw = h * w
+    flat_mask = mask.reshape(j, hw)
+    flat_score = smoothed.reshape(j, hw)
+
+    # Key: valid peaks get (hw - scan_idx) > 0, invalid get 0; top_k then
+    # yields the first K peaks in ascending scan order.
+    scan_idx = jnp.arange(hw, dtype=jnp.int32)
+    key = jnp.where(flat_mask, hw - scan_idx, 0)
+    k_eff = min(max_peaks, hw)  # degenerate tiny maps: top_k needs k <= hw
+    top_key, top_idx = jax.lax.top_k(key, k_eff)  # (J, k_eff)
+    if k_eff < max_peaks:
+        pad = [(0, 0), (0, max_peaks - k_eff)]
+        top_key = jnp.pad(top_key, pad)
+        top_idx = jnp.pad(top_idx, pad)
+    valid = top_key > 0
+    ys = (top_idx // w).astype(jnp.float32)
+    xs = (top_idx % w).astype(jnp.float32)
+    scores = jnp.take_along_axis(flat_score, top_idx, axis=1)
+    zero = jnp.zeros_like(ys)
+    return Peaks(
+        x=jnp.where(valid, xs, zero),
+        y=jnp.where(valid, ys, zero),
+        score=jnp.where(valid, scores, zero),
+        valid=valid,
+    )
+
+
+def find_peaks(heatmaps: jnp.ndarray, sigma: float, thresh: float,
+               max_peaks: int) -> Peaks:
+    """Full peak pipeline: blur -> NMS -> static top-K extraction.
+
+    heatmaps: (J, H, W) *without* the background channel (the reference
+    drops it at ``pose_detector.py:78``).
+    """
+    smoothed = gaussian_blur_reflect(heatmaps, sigma)
+    mask = nms_mask(smoothed, thresh)
+    return extract_peaks(mask, smoothed, max_peaks)
+
+
+def global_argmax_keypoints(heatmaps: jnp.ndarray, sigma: float,
+                            thresh: float):
+    """Face/hand-style peak: per-channel global argmax of the blurred map.
+
+    Parity with ``face_detector.py:54-66`` / ``hand_detector.py:64-76``:
+    each of the first J-1 channels yields (x, y, score) with valid =
+    score > thresh.  Returns (x, y, score, valid) arrays of shape (C,).
+
+    heatmaps: (C, H, W) — pass maps *without* the background channel.
+    """
+    smoothed = gaussian_blur_reflect(heatmaps, sigma)
+    c, h, w = smoothed.shape
+    flat = smoothed.reshape(c, h * w)
+    idx = jnp.argmax(flat, axis=1)
+    score = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    ys = (idx // w).astype(jnp.int32)
+    xs = (idx % w).astype(jnp.int32)
+    return xs, ys, score, score > thresh

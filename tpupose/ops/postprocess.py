@@ -1,0 +1,57 @@
+"""End-to-end pose postprocessing: heatmaps+PAFs -> person pose arrays.
+
+One jit-able, fixed-shape function covering the whole host-side tail of the
+reference's ``PoseDetector.__call__`` (``/root/reference/pose_detector.py:
+508-517``): Gaussian smoothing + peak NMS (``:75-133``), PAF line-integral
+scoring + greedy matching (``:135-181``), person grouping (``:183-250``) and
+pose array emission (``:252-265``) — entirely on device, so a detector
+performs exactly one host->device and one device->host transfer per frame.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from tpupose.config import LIMBS, InferenceConfig
+from tpupose.ops.grouping import group_keypoints, subsets_to_poses
+from tpupose.ops.paf import compute_connections
+from tpupose.ops.peaks import find_peaks
+
+
+class PoseResult(NamedTuple):
+    """poses: (S, 18, 3) [x, y, v]; scores: (S,); valid: (S,) bool;
+    num_peaks: () int32 total peak count (for the reference's empty-peaks
+    early-out at ``pose_detector.py:509``)."""
+
+    poses: jnp.ndarray
+    scores: jnp.ndarray
+    valid: jnp.ndarray
+    num_peaks: jnp.ndarray
+
+
+_LIMBS_A = jnp.asarray([a for a, _ in LIMBS], jnp.int32)
+_LIMBS_B = jnp.asarray([b for _, b in LIMBS], jnp.int32)
+
+
+def postprocess_pose(pafs: jnp.ndarray, heatmaps: jnp.ndarray,
+                     img_len, cfg: InferenceConfig) -> PoseResult:
+    """pafs: (38, H, W); heatmaps: (19, H, W) — both already resized to the
+    postprocess map size.  ``img_len`` is the map width (fast path,
+    ``pose_detector.py:511``) or the original image width (precise path,
+    ``:478``), used by the PAF distance prior.
+    """
+    peaks = find_peaks(
+        heatmaps[:-1], cfg.gaussian_sigma, cfg.heatmap_peak_thresh,
+        cfg.max_peaks_per_joint)
+    connections = compute_connections(
+        pafs, peaks, jnp.float32(img_len), cfg, _LIMBS_A, _LIMBS_B)
+    subsets = group_keypoints(connections, peaks, cfg)
+    poses, person_valid = subsets_to_poses(subsets, peaks)
+    return PoseResult(
+        poses=poses,
+        scores=jnp.where(person_valid, subsets.score, 0.0),
+        valid=person_valid,
+        num_peaks=jnp.sum(peaks.valid),
+    )
