@@ -1,0 +1,174 @@
+"""On-device ground-truth rendering: poses -> heatmaps / PAFs / masks.
+
+TPU-native re-design of the reference's per-sample NumPy grid loops
+(``/root/reference/coco_data_loader.py:208-268``): the same math expressed as
+dense, fixed-shape jnp broadcasts over a static ``max_persons`` pose table so
+a whole batch of GT maps is rendered by one fused XLA program (vmap over the
+batch) instead of Python loops in data-worker processes.
+
+Semantics match the reference exactly:
+
+* heatmap per joint = max over persons of ``exp(-0.5 d^2 / sigma^2)``;
+  background channel = ``1 - max`` over all joints/persons
+  (``coco_data_loader.py:216-229``).
+* PAF per limb = constant unit vector inside the rotated rectangle of
+  half-width ``paf_sigma`` around the segment, averaged where limbs of
+  different persons overlap, with the reference's nonzero-component counting
+  quirk (``:232-268``; a limb whose unit vector has a zero x or y component
+  contributes to the count only where the other component is nonzero).
+* zero-length limbs contribute nothing (``:233-234``).
+
+Coordinates use the reference's pixel-grid convention: pixel centers at
+integer coordinates, ``grid_x = arange(W)``, ``grid_y = arange(H)``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpupose.config import LIMBS, NUM_JOINTS
+
+_LIMB_FROM = np.asarray([a for a, _ in LIMBS], np.int32)
+_LIMB_TO = np.asarray([b for _, b in LIMBS], np.int32)
+
+
+def _grids(height: int, width: int):
+    gx = jnp.arange(width, dtype=jnp.float32)[None, :]    # (1, W)
+    gy = jnp.arange(height, dtype=jnp.float32)[:, None]   # (H, 1)
+    return gx, gy
+
+
+def render_heatmaps(poses: jnp.ndarray, height: int, width: int,
+                    sigma: float) -> jnp.ndarray:
+    """poses: (P, 18, 3) float32 ``[x, y, v]`` rows (v>0 = labeled).
+
+    Returns (19, H, W) float32 — 18 joint channels + background
+    (ref ``coco_data_loader.py:216-229``).
+    """
+    gx, gy = _grids(height, width)
+    x = poses[:, :, 0][:, :, None, None]       # (P, J, 1, 1)
+    y = poses[:, :, 1][:, :, None, None]
+    v = poses[:, :, 2][:, :, None, None] > 0
+    d2 = (gx[None, None] - x) ** 2 + (gy[None, None] - y) ** 2
+    g = jnp.exp(-0.5 * d2 / (sigma * sigma))
+    g = jnp.where(v, g, 0.0)                    # (P, J, H, W)
+    heatmaps = jnp.max(g, axis=0)               # (J, H, W)
+    bg = 1.0 - jnp.max(heatmaps, axis=0)        # (H, W)
+    return jnp.concatenate([heatmaps, bg[None]], axis=0)
+
+
+def render_pafs(poses: jnp.ndarray, height: int, width: int,
+                paf_width: float) -> jnp.ndarray:
+    """poses: (P, 18, 3) -> (38, H, W) float32 part-affinity fields
+    (ref ``coco_data_loader.py:232-268``; limb i in channels 2i, 2i+1).
+    """
+    gx, gy = _grids(height, width)
+    limb_from = jnp.asarray(_LIMB_FROM)
+    limb_to = jnp.asarray(_LIMB_TO)
+
+    jf = poses[:, limb_from]                    # (P, L, 3)
+    jt = poses[:, limb_to]
+    valid = (jf[..., 2] > 0) & (jt[..., 2] > 0)  # (P, L)
+
+    dx = jt[..., 0] - jf[..., 0]
+    dy = jt[..., 1] - jf[..., 1]
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    nonzero = dist > 0
+    valid = valid & nonzero
+    safe = jnp.where(nonzero, dist, 1.0)
+    ux, uy = dx / safe, dy / safe               # (P, L)
+    # Perpendicular via the reference's rot(pi/2) matrix [[c, s], [-s, c]]:
+    # v_perp = (uy, -ux) (``coco_data_loader.py:238-240``).
+    px_, py_ = uy, -ux
+
+    rx = gx[None, None] - jf[..., 0][:, :, None, None]   # (P, L, H, W)
+    ry = gy[None, None] - jf[..., 1][:, :, None, None]
+    horiz = ux[:, :, None, None] * rx + uy[:, :, None, None] * ry
+    vert = px_[:, :, None, None] * rx + py_[:, :, None, None] * ry
+    flag = (
+        (horiz >= 0.0)
+        & (horiz <= dist[:, :, None, None])
+        & (jnp.abs(vert) <= paf_width)
+        & valid[:, :, None, None]
+    )                                            # (P, L, H, W)
+
+    paf_x = jnp.where(flag, ux[:, :, None, None], 0.0)
+    paf_y = jnp.where(flag, uy[:, :, None, None], 0.0)
+    # Reference counting quirk (``:262-263``): each person-limb adds
+    # (x_nonzero | y_nonzero) to the per-pixel count — identical to ``flag``
+    # except where the unit vector is exactly axis-aligned; there the
+    # zero-component channel stays 0 but the count still increments, which
+    # ``flag`` reproduces because the other component is nonzero inside the
+    # band.  Exactly-zero unit vectors cannot occur (dist > 0).
+    count = jnp.sum(flag, axis=0).astype(jnp.float32)     # (L, H, W)
+    sum_x = jnp.sum(paf_x, axis=0)
+    sum_y = jnp.sum(paf_y, axis=0)
+    safe_count = jnp.where(count > 0, count, 1.0)
+    paf = jnp.stack([sum_x / safe_count, sum_y / safe_count], axis=1)
+    return paf.reshape(2 * len(LIMBS), height, width)
+
+
+def render_labels(poses: jnp.ndarray, height: int, width: int,
+                  heatmap_sigma: float, paf_sigma: float):
+    """Render (pafs, heatmaps) for one sample; NHWC-friendly channel-first
+    maps matching the reference trainer's GT layout
+    (``train_coco_pose_estimation.py:109``)."""
+    heatmaps = render_heatmaps(poses, height, width, heatmap_sigma)
+    pafs = render_pafs(poses, height, width, paf_sigma)
+    return pafs, heatmaps
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle (reference-exact, dynamic shapes) for parity tests
+# ---------------------------------------------------------------------------
+
+
+def render_heatmaps_numpy(poses: np.ndarray, height: int, width: int,
+                          sigma: float) -> np.ndarray:
+    """Direct transcription of the reference loop semantics for testing."""
+    heatmaps = np.zeros((NUM_JOINTS + 1, height, width), np.float32)
+    sum_heatmap = np.zeros((height, width))
+    gx = np.tile(np.arange(width), (height, 1))
+    gy = np.tile(np.arange(height), (width, 1)).T
+    for j in range(NUM_JOINTS):
+        heatmap = np.zeros((height, width))
+        for pose in poses:
+            if pose[j, 2] > 0:
+                d2 = (gx - pose[j, 0]) ** 2 + (gy - pose[j, 1]) ** 2
+                jm = np.exp(-0.5 * d2 / sigma**2)
+                heatmap = np.maximum(heatmap, jm)
+                sum_heatmap = np.maximum(sum_heatmap, jm)
+        heatmaps[j] = heatmap
+    heatmaps[-1] = 1.0 - sum_heatmap
+    return heatmaps
+
+
+def render_pafs_numpy(poses: np.ndarray, height: int, width: int,
+                      paf_width: float) -> np.ndarray:
+    gx = np.tile(np.arange(width), (height, 1))
+    gy = np.tile(np.arange(height), (width, 1)).T
+    pafs = np.zeros((0, height, width))
+    for (a, b) in LIMBS:
+        paf = np.zeros((2, height, width))
+        flags = np.zeros(paf.shape)
+        for pose in poses:
+            jf, jt = pose[a], pose[b]
+            if jf[2] > 0 and jt[2] > 0:
+                if np.array_equal(jf[:2], jt[:2]):
+                    continue
+                dist = np.linalg.norm(jt[:2].astype(float) - jf[:2])
+                u = (jt[:2].astype(float) - jf[:2]) / dist
+                vp = np.array([u[1], -u[0]])
+                horiz = u[0] * (gx - jf[0]) + u[1] * (gy - jf[1])
+                vert = vp[0] * (gx - jf[0]) + vp[1] * (gy - jf[1])
+                flag = (horiz >= 0) & (horiz <= dist) & (np.abs(vert)
+                                                         <= paf_width)
+                limb_paf = np.stack([flag, flag]) * u[:, None, None]
+                limb_flags = limb_paf != 0
+                flags += np.broadcast_to(limb_flags[0] | limb_flags[1],
+                                         limb_paf.shape)
+                paf += limb_paf
+        paf[flags > 0] /= flags[flags > 0]
+        pafs = np.vstack((pafs, paf))
+    return pafs.astype(np.float32)
