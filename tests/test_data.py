@@ -1,0 +1,220 @@
+"""Data-pipeline tests: COCO JSON parsing, masks, augmentation, loader,
+and a smoke run of the training CLI on a synthetic mini-COCO dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpupose.config import JointType, TrainConfig
+from tpupose.data import (
+    BatchLoader,
+    CocoPoseDataset,
+    ann_to_mask,
+    generate_ignore_masks,
+    parse_annotations,
+)
+from tpupose.data.coco_json import decode_compressed_rle
+
+CV2 = pytest.importorskip("cv2")
+
+
+def _coco_keypoints(xys, vis=2):
+    """17 COCO keypoints from a dict {coco_index: (x, y)}."""
+    kpts = []
+    for i in range(17):
+        if i in xys:
+            kpts += [int(xys[i][0]), int(xys[i][1]), vis]
+        else:
+            kpts += [0, 0, 0]
+    return kpts
+
+
+@pytest.fixture(scope="module")
+def mini_coco(tmp_path_factory):
+    """Synthetic 3-image COCO dataset with persons + a crowd region."""
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in (1, 2, 3):
+        h, w = 240, 320
+        img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        name = f"{img_id:012d}.jpg"
+        CV2.imwrite(str(img_dir / name), img)
+        images.append({"id": img_id, "file_name": name,
+                       "height": h, "width": w})
+        # one well-annotated person
+        xys = {i: (40 + 10 * i + img_id, 60 + 7 * i) for i in range(17)}
+        annotations.append({
+            "id": ann_id, "image_id": img_id, "category_id": 1,
+            "keypoints": _coco_keypoints(xys), "num_keypoints": 17,
+            "area": 5000.0, "iscrowd": 0,
+            "segmentation": [[30, 30, 120, 30, 120, 200, 30, 200]],
+        })
+        ann_id += 1
+        # one under-annotated person (should be filtered + masked)
+        annotations.append({
+            "id": ann_id, "image_id": img_id, "category_id": 1,
+            "keypoints": _coco_keypoints({0: (200, 50)}), "num_keypoints": 1,
+            "area": 1500.0, "iscrowd": 0,
+            "segmentation": [[190, 40, 230, 40, 230, 90, 190, 90]],
+        })
+        ann_id += 1
+    # a crowd annotation with uncompressed RLE on image 1
+    h, w = 240, 320
+    crowd_mask = np.zeros((h, w), np.uint8)
+    crowd_mask[100:140, 250:300] = 1
+    flat = crowd_mask.T.reshape(-1)  # column-major
+    change = np.flatnonzero(np.diff(flat))
+    counts = np.diff(np.concatenate([[0], change + 1, [flat.size]]))
+    if flat[0] == 1:
+        counts = np.concatenate([[0], counts])
+    annotations.append({
+        "id": ann_id, "image_id": 1, "category_id": 1,
+        "keypoints": [0] * 51, "num_keypoints": 0,
+        "area": 2000.0, "iscrowd": 1,
+        "segmentation": {"counts": [int(c) for c in counts],
+                         "size": [h, w]},
+    })
+
+    ann_file = root / "person_keypoints.json"
+    with open(ann_file, "w") as f:
+        json.dump({
+            "images": images,
+            "annotations": annotations,
+            "categories": [{"id": 1, "name": "person"}],
+        }, f)
+    return {"root": str(root), "ann": str(ann_file),
+            "img_dir": str(img_dir)}
+
+
+class TestCocoJson:
+    def test_polygon_mask(self):
+        ann = {"segmentation": [[10, 10, 20, 10, 20, 20, 10, 20]]}
+        mask = ann_to_mask(ann, 32, 32)
+        assert mask[15, 15] == 1
+        assert mask[5, 5] == 0
+
+    def test_uncompressed_rle_roundtrip(self, mini_coco):
+        from tpupose.data.coco_json import CocoAnnotations
+
+        coco = CocoAnnotations(mini_coco["ann"])
+        crowd = [a for a in coco.annotations(1) if a["iscrowd"] == 1][0]
+        mask = ann_to_mask(crowd, 240, 320)
+        assert mask[120, 270] == 1
+        assert mask[50, 50] == 0
+        assert mask.sum() == 40 * 50
+
+    def test_compressed_rle_simple(self):
+        # 4x4 mask, first column set: counts [0,4,12] -> LEB chars
+        # encode via the inverse of the decoder for a smoke check
+        mask = decode_compressed_rle("04l0", 4, 4)  # counts 0,4,12
+        assert mask.shape == (4, 4)
+        assert mask[:, 0].sum() == 4
+        assert mask[:, 1:].sum() == 0
+
+
+class TestParseAnnotations:
+    def test_neck_synthesis_and_mapping(self):
+        xys = {i: (10 * i, 5 * i) for i in range(17)}
+        anns = [{"keypoints": _coco_keypoints(xys)}]
+        poses = parse_annotations(anns)
+        assert poses.shape == (1, 18, 3)
+        # COCO idx 5 = LeftShoulder, 6 = RightShoulder
+        ls, rs = xys[5], xys[6]
+        assert poses[0, JointType.Neck, 0] == int((ls[0] + rs[0]) / 2)
+        assert poses[0, JointType.Neck, 2] == 2
+        assert tuple(poses[0, JointType.Nose, :2]) == xys[0]
+
+    def test_no_neck_without_both_shoulders(self):
+        xys = {5: (50, 50)}  # left shoulder only
+        anns = [{"keypoints": _coco_keypoints(xys)}]
+        poses = parse_annotations(anns)
+        assert poses[0, JointType.Neck, 2] == 0
+
+
+class TestDataset:
+    def test_train_sample_shapes(self, mini_coco):
+        cfg = TrainConfig(insize=128)
+        ds = CocoPoseDataset(mini_coco["ann"], mini_coco["img_dir"],
+                             mode="train", cfg=cfg)
+        assert len(ds) == 3
+        img, poses, mask = ds.sample(0)
+        assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+        assert poses.shape[1:] == (18, 3)
+        assert mask.shape == (128, 128) and mask.dtype == bool
+
+    def test_under_annotated_filtered(self, mini_coco):
+        cfg = TrainConfig(insize=128)
+        ds = CocoPoseDataset(mini_coco["ann"], mini_coco["img_dir"],
+                             mode="val", cfg=cfg)
+        _, poses, _ = ds.sample(0)
+        assert poses.shape[0] == 1  # only the 17-kpt person survives
+
+    def test_eval_sample(self, mini_coco):
+        ds = CocoPoseDataset(mini_coco["ann"], mini_coco["img_dir"],
+                             mode="eval")
+        img, anns, img_id = ds.eval_sample(0)
+        assert img_id == 1
+        assert len(anns) == 3  # unfiltered in eval mode (ref :307-308)
+
+    def test_ignore_mask_generation(self, mini_coco):
+        out = os.path.join(mini_coco["root"], "masks")
+        n = generate_ignore_masks(mini_coco["ann"], mini_coco["img_dir"],
+                                  out)
+        assert n == 3  # every image has an under-annotated person
+        m = CV2.imread(os.path.join(out, f"{1:012d}.png"), 0)
+        assert m is not None
+        assert (m == 255).any()
+        # the under-annotated person's region is masked
+        assert m[60, 210] == 255
+        # the well-annotated person's region is NOT
+        assert m[150, 60] == 0
+
+
+class TestBatchLoader:
+    def test_batches(self, mini_coco):
+        cfg = TrainConfig(insize=128)
+        ds = CocoPoseDataset(mini_coco["ann"], mini_coco["img_dir"],
+                             mode="val", cfg=cfg)
+        loader = BatchLoader(ds, batch_size=2, max_persons=4,
+                             shuffle=False, repeat=False)
+        batches = list(loader)
+        assert len(batches) == 2  # 3 samples -> 2 + 1
+        assert batches[0].imgs.shape == (2, 128, 128, 3)
+        assert batches[0].poses.shape == (2, 4, 18, 3)
+        assert batches[0].ignore_mask.shape == (2, 128, 128)
+
+
+class TestTrainCLI:
+    def test_smoke_train(self, mini_coco, tmp_path):
+        """2 iterations end-to-end through the CLI main()."""
+        from tpupose.apps import train_cli
+
+        coco_root = tmp_path / "coco"
+        (coco_root / "annotations").mkdir(parents=True)
+        os.symlink(mini_coco["ann"],
+                   coco_root / "annotations" /
+                   "person_keypoints_train2017.json")
+        os.symlink(mini_coco["ann"],
+                   coco_root / "annotations" /
+                   "person_keypoints_val2017.json")
+        os.symlink(mini_coco["img_dir"], coco_root / "train2017")
+        os.symlink(mini_coco["img_dir"], coco_root / "val2017")
+
+        out = str(tmp_path / "result")
+        train_cli.main([
+            "--coco_dir", str(coco_root), "--out", out, "--test",
+            "--batchsize", "2", "--valbatchsize", "2", "--iteration", "2",
+            "--insize", "64",
+        ])
+        assert os.path.exists(os.path.join(out, "log"))
+        assert os.path.exists(os.path.join(out, "params.json"))
+        with open(os.path.join(out, "log")) as f:
+            log = json.load(f)
+        assert any("main/loss" in e for e in log)

@@ -1,0 +1,241 @@
+"""Tests for the training subsystem: GT rendering, loss, optimizer, step.
+
+Parity targets are the reference semantics of
+``/root/reference/coco_data_loader.py:208-268`` (GT maps) and
+``/root/reference/train_coco_pose_estimation.py:25-126`` (loss/optimizer).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpupose.config import TrainConfig
+from tpupose.data.gt import (
+    render_heatmaps,
+    render_heatmaps_numpy,
+    render_pafs,
+    render_pafs_numpy,
+)
+from tpupose.models import ARCHS
+from tpupose.train import (
+    FREEZE_LAYERS,
+    TrainBatch,
+    compute_loss,
+    init_train_state,
+    make_lr_schedule,
+    make_train_step,
+)
+
+
+def _random_poses(rng, n_people, h, w, visible_p=0.8):
+    poses = np.zeros((n_people, 18, 3), np.float32)
+    poses[:, :, 0] = rng.uniform(0, w - 1, (n_people, 18))
+    poses[:, :, 1] = rng.uniform(0, h - 1, (n_people, 18))
+    poses[:, :, 2] = (rng.uniform(size=(n_people, 18)) < visible_p) * 2
+    return poses
+
+
+class TestGTRendering:
+    def test_heatmaps_match_oracle(self):
+        rng = np.random.RandomState(0)
+        poses = _random_poses(rng, 3, 40, 48)
+        got = np.asarray(render_heatmaps(jnp.asarray(poses), 40, 48, 7.0))
+        want = render_heatmaps_numpy(poses, 40, 48, 7.0)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_pafs_match_oracle(self):
+        rng = np.random.RandomState(1)
+        poses = _random_poses(rng, 3, 40, 48)
+        got = np.asarray(render_pafs(jnp.asarray(poses), 40, 48, 8.0))
+        want = render_pafs_numpy(poses, 40, 48, 8.0)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_pafs_axis_aligned_limb(self):
+        """Axis-aligned unit vectors hit the reference's nonzero-count
+        quirk; both implementations must agree."""
+        poses = np.zeros((2, 18, 3), np.float32)
+        # person 0: vertical neck->waist limb; person 1 overlaps it.
+        poses[0, 1] = (20, 5, 2)   # neck
+        poses[0, 8] = (20, 30, 2)  # right waist (limb 0, straight down)
+        poses[1, 1] = (22, 5, 2)
+        poses[1, 8] = (18, 30, 2)
+        got = np.asarray(render_pafs(jnp.asarray(poses), 40, 40, 8.0))
+        want = render_pafs_numpy(poses, 40, 40, 8.0)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_no_people_gives_background_one(self):
+        poses = np.zeros((2, 18, 3), np.float32)
+        hm = np.asarray(render_heatmaps(jnp.asarray(poses), 16, 16, 7.0))
+        np.testing.assert_allclose(hm[:-1], 0.0)
+        np.testing.assert_allclose(hm[-1], 1.0)
+        paf = np.asarray(render_pafs(jnp.asarray(poses), 16, 16, 8.0))
+        np.testing.assert_allclose(paf, 0.0)
+
+
+class TestLoss:
+    def test_masked_pixels_have_zero_grad(self):
+        rng = np.random.RandomState(0)
+        s, b, h, w = 2, 1, 8, 8
+        pafs_t = jnp.asarray(rng.randn(b, h, w, 38), jnp.float32)
+        heat_t = jnp.asarray(rng.randn(b, h, w, 19), jnp.float32)
+        mask = jnp.zeros((b, h, w), bool).at[:, :4].set(True)
+
+        def f(pred):
+            total, _ = compute_loss(pred["p"], pred["h"], pafs_t, heat_t,
+                                    mask)
+            return total
+
+        pred = {
+            "p": jnp.asarray(rng.randn(s, b, h, w, 38), jnp.float32),
+            "h": jnp.asarray(rng.randn(s, b, h, w, 19), jnp.float32),
+        }
+        g = jax.grad(f)(pred)
+        # masked rows (y < 4) -> zero gradient; unmasked -> nonzero
+        assert np.all(np.asarray(g["p"])[:, :, :4] == 0)
+        assert np.any(np.asarray(g["p"])[:, :, 4:] != 0)
+        assert np.all(np.asarray(g["h"])[:, :, :4] == 0)
+
+    def test_loss_value_matches_manual(self):
+        """Same-shape GT, no mask: loss = sum over stages+branches of MSE."""
+        rng = np.random.RandomState(1)
+        s, b, h, w = 3, 2, 4, 4
+        pp = rng.randn(s, b, h, w, 38).astype(np.float32)
+        ph = rng.randn(s, b, h, w, 19).astype(np.float32)
+        tp = rng.randn(b, h, w, 38).astype(np.float32)
+        th = rng.randn(b, h, w, 19).astype(np.float32)
+        mask = jnp.zeros((b, h, w), bool)
+        total, metrics = compute_loss(
+            jnp.asarray(pp), jnp.asarray(ph), jnp.asarray(tp),
+            jnp.asarray(th), mask)
+        want = sum(np.mean((pp[i] - tp) ** 2) + np.mean((ph[i] - th) ** 2)
+                   for i in range(s))
+        np.testing.assert_allclose(float(total), want, rtol=1e-5)
+        assert metrics["paf_stages"].shape == (s,)
+
+    def test_gt_resized_when_shapes_differ(self):
+        """GT at 2x the stage resolution is downsampled (align-corners)."""
+        s, b, h, w = 1, 1, 4, 4
+        pred_p = jnp.zeros((s, b, h, w, 38))
+        pred_h = jnp.zeros((s, b, h, w, 19))
+        tp = jnp.ones((b, 2 * h, 2 * w, 38))
+        th = jnp.ones((b, 2 * h, 2 * w, 19))
+        mask = jnp.zeros((b, 2 * h, 2 * w), bool)
+        total, _ = compute_loss(pred_p, pred_h, tp, th, mask)
+        # constant-1 GT resizes to constant 1 -> MSE = 1 per branch
+        np.testing.assert_allclose(float(total), 2.0, rtol=1e-6)
+
+
+class TestOptimizer:
+    def test_lr_schedule_drops(self):
+        cfg = TrainConfig()
+        sched = make_lr_schedule(cfg)
+        assert np.isclose(sched(0), 1e-4)
+        assert np.isclose(sched(99_999), 1e-4)
+        assert np.isclose(sched(100_000), 1e-5)
+        assert np.isclose(sched(200_000), 1e-6, rtol=1e-4)
+
+    def test_stem_frozen_then_unfrozen(self):
+        cfg = TrainConfig(insize=32, stem_freeze_steps=2, max_persons=2)
+        model = ARCHS["posenet"]()
+        state, tx = init_train_state(model, cfg, insize=32)
+        step = make_train_step(model, tx, cfg, donate=False)
+
+        rng = np.random.RandomState(0)
+        poses = np.zeros((1, 2, 18, 3), np.float32)
+        poses[0, 0] = _random_poses(rng, 1, 32, 32)[0]
+        batch = TrainBatch(
+            imgs=jnp.asarray(rng.randint(0, 255, (1, 32, 32, 3),
+                                         dtype=np.uint8)),
+            poses=jnp.asarray(poses),
+            ignore_mask=jnp.zeros((1, 32, 32), bool),
+        )
+        frozen0 = np.asarray(
+            state.params["stem"][FREEZE_LAYERS[0]]["conv"]["kernel"])
+        live0 = np.asarray(
+            state.params["stem"]["conv4_3_CPM"]["conv"]["kernel"])
+
+        s1, _ = step(state, batch)
+        s2, _ = step(s1, batch)
+        frozen2 = np.asarray(
+            s2.params["stem"][FREEZE_LAYERS[0]]["conv"]["kernel"])
+        live2 = np.asarray(
+            s2.params["stem"]["conv4_3_CPM"]["conv"]["kernel"])
+        np.testing.assert_array_equal(frozen0, frozen2)
+        assert np.any(live0 != live2)
+
+        s3, _ = step(s2, batch)
+        frozen3 = np.asarray(
+            s3.params["stem"][FREEZE_LAYERS[0]]["conv"]["kernel"])
+        assert np.any(frozen2 != frozen3)  # unfrozen at step index 2
+
+    def test_loss_decreases_over_steps(self):
+        cfg = TrainConfig(insize=32, stem_freeze_steps=0, max_persons=2)
+        model = ARCHS["posenet"]()
+        state, tx = init_train_state(model, cfg, insize=32)
+        step = make_train_step(model, tx, cfg, donate=False)
+        rng = np.random.RandomState(0)
+        poses = np.zeros((2, 2, 18, 3), np.float32)
+        poses[:, 0] = _random_poses(rng, 2, 32, 32)
+        batch = TrainBatch(
+            imgs=jnp.asarray(rng.randint(0, 255, (2, 32, 32, 3),
+                                         dtype=np.uint8)),
+            poses=jnp.asarray(poses),
+            ignore_mask=jnp.zeros((2, 32, 32), bool),
+        )
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+
+
+class TestShardedStep:
+    def test_train_step_on_mesh(self):
+        from tpupose.parallel import make_mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 virtual devices")
+        cfg = TrainConfig(insize=32, max_persons=2)
+        model = ARCHS["posenet"]()
+        state, tx = init_train_state(model, cfg, insize=32)
+        mesh = make_mesh(n_data=2, n_spatial=2)
+        step = make_train_step(model, tx, cfg, mesh=mesh, donate=False)
+        rng = np.random.RandomState(0)
+        poses = np.zeros((4, 2, 18, 3), np.float32)
+        poses[:, 0] = _random_poses(rng, 4, 32, 32)
+        batch = TrainBatch(
+            imgs=jnp.asarray(rng.randint(0, 255, (4, 32, 32, 3),
+                                         dtype=np.uint8)),
+            poses=jnp.asarray(poses),
+            ignore_mask=jnp.zeros((4, 32, 32), bool),
+        )
+        new_state, metrics = step(state, batch)
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_sharded_matches_single_device(self):
+        """DP+spatial sharding must not change the math."""
+        from tpupose.parallel import make_mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 virtual devices")
+        cfg = TrainConfig(insize=32, max_persons=2)
+        model = ARCHS["posenet"]()
+        state, tx = init_train_state(model, cfg, insize=32)
+        mesh = make_mesh(n_data=2, n_spatial=2)
+        step_m = make_train_step(model, tx, cfg, mesh=mesh, donate=False)
+        step_1 = make_train_step(model, tx, cfg, donate=False)
+        rng = np.random.RandomState(0)
+        poses = np.zeros((4, 2, 18, 3), np.float32)
+        poses[:, 0] = _random_poses(rng, 4, 32, 32)
+        batch = TrainBatch(
+            imgs=jnp.asarray(rng.randint(0, 255, (4, 32, 32, 3),
+                                         dtype=np.uint8)),
+            poses=jnp.asarray(poses),
+            ignore_mask=jnp.zeros((4, 32, 32), bool),
+        )
+        _, m_mesh = step_m(state, batch)
+        _, m_one = step_1(state, batch)
+        np.testing.assert_allclose(
+            float(m_mesh["loss"]), float(m_one["loss"]), rtol=1e-5)

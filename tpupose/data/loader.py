@@ -1,0 +1,123 @@
+"""Batched, prefetching input pipeline — the MultiprocessIterator equivalent.
+
+The reference feeds Chainer with ``MultiprocessIterator(loader, batchsize,
+n_processes=loaderjob)`` plus a ``spawn`` start-method workaround
+(``/root/reference/train_coco_pose_estimation.py:234-239``).  Here the same
+capability is a worker *process pool* decoding/augmenting samples plus a
+background assembly thread that keeps a bounded queue of ready batches, so
+the host pipeline overlaps with device steps (double buffering); batches are
+(optionally) placed directly onto the device mesh with the training
+shardings.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from tpupose.train.trainer import TrainBatch, pad_poses
+
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_sample(index: int):
+    return _WORKER_DATASET.sample(index)
+
+
+class BatchLoader:
+    """Iterable over ``TrainBatch``es of host numpy arrays.
+
+    num_workers=0 loads inline (SerialIterator parity); >0 uses a spawn
+    process pool (MultiprocessIterator parity, including the reference's
+    spawn-start-method bug workaround).
+    """
+
+    def __init__(self, dataset, batch_size: int, max_persons: int = 16,
+                 shuffle: bool = True, repeat: bool = True,
+                 num_workers: int = 0, prefetch: int = 2, seed: int = 0,
+                 mesh=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_persons = max_persons
+        self.shuffle = shuffle
+        self.repeat = repeat
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.mesh = mesh
+        self._rng = np.random.RandomState(seed)
+        self._pool = None
+        if num_workers > 0:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(num_workers, initializer=_worker_init,
+                                  initargs=(dataset,))
+
+    def _index_stream(self) -> Iterator[int]:
+        n = len(self.dataset)
+        while True:
+            order = (self._rng.permutation(n) if self.shuffle
+                     else np.arange(n))
+            yield from order
+            if not self.repeat:
+                return
+
+    def _assemble(self, samples) -> TrainBatch:
+        imgs = np.stack([s[0] for s in samples])
+        poses = pad_poses([s[1] for s in samples], self.max_persons)
+        masks = np.stack([s[2] for s in samples])
+        batch = TrainBatch(imgs=imgs, poses=poses, ignore_mask=masks)
+        if self.mesh is not None:
+            from tpupose.parallel import shard_batch
+
+            batch = TrainBatch(**shard_batch(
+                {"imgs": imgs, "poses": poses, "ignore_mask": masks},
+                self.mesh))
+        return batch
+
+    def _sample_stream(self):
+        idx = self._index_stream()
+        if self._pool is not None:
+            yield from self._pool.imap(_worker_sample, idx,
+                                       chunksize=1)
+        else:
+            for i in idx:
+                yield self.dataset.sample(i)
+
+    def __iter__(self) -> Iterator[TrainBatch]:
+        out: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def feeder():
+            try:
+                buf = []
+                for s in self._sample_stream():
+                    buf.append(s)
+                    if len(buf) == self.batch_size:
+                        out.put(self._assemble(buf))
+                        buf = []
+                if buf and not self.repeat:
+                    out.put(self._assemble(buf))
+            finally:
+                out.put(stop)
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        while True:
+            item = out.get()
+            if item is stop:
+                return
+            yield item
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
