@@ -1,0 +1,218 @@
+"""Tests for the OKS evaluator, demo cascade, and streaming camera app."""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from test_postprocess import _render_scene  # noqa: E402
+
+from tpupose.config import (  # noqa: E402
+    FaceConfig,
+    HandConfig,
+    InferenceConfig,
+)
+from tpupose.evaluation import (  # noqa: E402
+    KeypointEvaluator,
+    compute_oks,
+    pose18_to_coco17,
+    poses_to_results,
+)
+
+CV2 = pytest.importorskip("cv2")
+
+SMALL_CFG = InferenceConfig(
+    img_size=64, heatmap_size=64, max_peaks_per_joint=8, max_subsets=16)
+
+
+class _StubModel:
+    """Stands in for CocoPoseNet: emits fixed synthetic pafs/heatmaps
+    resized to the input's stride-8 grid, stacked to 6 stages."""
+
+    def __init__(self, pafs, heatmaps):
+        self._pafs = np.transpose(pafs, (1, 2, 0))[None]        # NHWC
+        self._heatmaps = np.transpose(heatmaps, (1, 2, 0))[None]
+
+    def apply(self, variables, x):
+        from tpupose.ops.resize import resize_cv2_linear
+
+        h, w = x.shape[1] // 8, x.shape[2] // 8
+        paf = resize_cv2_linear(jnp.asarray(self._pafs), (h, w))
+        hm = resize_cv2_linear(jnp.asarray(self._heatmaps), (h, w))
+        stack = lambda a: jnp.broadcast_to(a[None], (6,) + a.shape)  # noqa
+        return stack(paf), stack(hm)
+
+
+def _stub_pose_detector(precise=False, n_people=2, seed=3):
+    from tpupose.detectors import PoseDetector
+
+    rng = np.random.RandomState(seed)
+    pafs, heatmaps = _render_scene(rng, n_people=n_people, hw=(46, 62))
+    det = PoseDetector("posenet", params={"params": {}}, cfg=SMALL_CFG,
+                       precise=precise)
+    det.model = _StubModel(pafs, heatmaps)
+    return det
+
+
+def _gt_from_pose17(kpts17, area=3000.0):
+    return {
+        "keypoints": [float(v) for row in kpts17 for v in row],
+        "num_keypoints": int((kpts17[:, 2] > 0).sum()),
+        "area": area,
+        "iscrowd": 0,
+        "bbox": [float(kpts17[:, 0].min()), float(kpts17[:, 1].min()),
+                 float(np.ptp(kpts17[:, 0])), float(np.ptp(kpts17[:, 1]))],
+    }
+
+
+def _random_kpts17(rng, lo=50, hi=250):
+    k = np.zeros((17, 3))
+    k[:, 0] = rng.uniform(lo, hi, 17)
+    k[:, 1] = rng.uniform(lo, hi, 17)
+    k[:, 2] = 2
+    return k
+
+
+class TestOKS:
+    def test_perfect_match_oks_one(self):
+        rng = np.random.RandomState(0)
+        k = _random_kpts17(rng)
+        gt = _gt_from_pose17(k)
+        assert compute_oks(k, gt) == pytest.approx(1.0)
+
+    def test_distance_decreases_oks(self):
+        rng = np.random.RandomState(0)
+        k = _random_kpts17(rng)
+        gt = _gt_from_pose17(k)
+        near = k.copy()
+        near[:, 0] += 2
+        far = k.copy()
+        far[:, 0] += 30
+        assert compute_oks(near, gt) > compute_oks(far, gt)
+
+    def test_unlabeled_gt_uses_bbox(self):
+        gt = {"keypoints": [0.0] * 51, "num_keypoints": 0,
+              "area": 900.0, "bbox": [100, 100, 30, 30], "iscrowd": 1}
+        inside = np.full((17, 3), 110.0)
+        outside = np.full((17, 3), 500.0)
+        assert compute_oks(inside, gt) == pytest.approx(1.0)
+        assert compute_oks(outside, gt) < 0.01
+
+
+class TestEvaluator:
+    def _make_scene(self, rng, n=3):
+        gts, dts = [], []
+        for i in range(n):
+            k = _random_kpts17(rng, lo=60 + 120 * i, hi=140 + 120 * i)
+            gts.append(_gt_from_pose17(k))
+            dts.append({
+                "keypoints": [float(v) for row in k for v in row],
+                "score": 0.9 - 0.1 * i,
+            })
+        return dts, gts
+
+    def test_perfect_detections_ap_one(self):
+        rng = np.random.RandomState(1)
+        ev = KeypointEvaluator()
+        for _ in range(4):
+            dts, gts = self._make_scene(rng)
+            ev.add_image(dts, gts)
+        stats = ev.summarize()
+        assert stats["AP"] == pytest.approx(1.0)
+        assert stats["AR"] == pytest.approx(1.0)
+
+    def test_missed_detections_lower_ap(self):
+        rng = np.random.RandomState(2)
+        ev = KeypointEvaluator()
+        for _ in range(4):
+            dts, gts = self._make_scene(rng)
+            ev.add_image(dts[:1], gts)  # detect 1 of 3
+        stats = ev.summarize()
+        assert 0.0 < stats["AP"] < 0.5
+
+    def test_false_positives_lower_ap(self):
+        rng = np.random.RandomState(3)
+        ev_clean = KeypointEvaluator()
+        ev_fp = KeypointEvaluator()
+        for _ in range(4):
+            dts, gts = self._make_scene(rng)
+            ev_clean.add_image(dts, gts)
+            fp = {"keypoints": [float(v) for v in
+                                _random_kpts17(rng, 400, 500).reshape(-1)],
+                  "score": 0.95}
+            ev_fp.add_image(dts + [fp], gts)
+        assert ev_fp.summarize()["AP"] < ev_clean.summarize()["AP"]
+
+    def test_crowd_gt_ignored(self):
+        """A detection matching only a crowd gt is neither TP nor FP."""
+        rng = np.random.RandomState(4)
+        ev = KeypointEvaluator()
+        dts, gts = self._make_scene(rng, n=2)
+        crowd = {"keypoints": [0.0] * 51, "num_keypoints": 0,
+                 "area": 10000.0, "bbox": [400, 400, 100, 100],
+                 "iscrowd": 1}
+        in_crowd = {"keypoints": [float(v) for v in
+                                  np.full((17, 3), 450.0).reshape(-1)],
+                    "score": 0.99}
+        ev.add_image(dts + [in_crowd], gts + [crowd])
+        assert ev.summarize()["AP"] == pytest.approx(1.0)
+
+
+class TestPoseToCoco:
+    def test_roundtrip_mapping(self):
+        pose = np.zeros((18, 3))
+        pose[:, 0] = np.arange(18)
+        pose[:, 1] = np.arange(18) * 2
+        pose[:, 2] = 2
+        k = pose18_to_coco17(pose)
+        # COCO idx 0 = Nose (joint 0), idx 5 = LeftShoulder (joint 5)
+        assert k[0, 0] == 0
+        assert k[5, 0] == 5
+        res = poses_to_results(pose[None], [10.0], img_id=7)
+        assert res[0]["image_id"] == 7
+        assert len(res[0]["keypoints"]) == 51
+
+
+class TestDemoCascade:
+    def test_run_cascade_stubbed(self, tmp_path):
+        from tpupose.apps.demo import run_cascade
+        from tpupose.detectors import FaceDetector, HandDetector
+
+        img = np.random.RandomState(0).randint(
+            0, 255, (92, 124, 3), dtype=np.uint8)
+        pose_det = _stub_pose_detector()
+        face_det = FaceDetector("facenet", cfg=FaceConfig(img_size=64))
+        hand_det = HandDetector("handnet", cfg=HandConfig(img_size=64))
+        res_img, results = run_cascade(img, pose_det, face_det, hand_det)
+        assert res_img.shape == img.shape
+        assert len(results["poses"]) >= 1
+
+
+class TestCameraApp:
+    def test_video_pipeline(self, tmp_path, monkeypatch):
+        import tpupose.detectors as det_mod
+        from tpupose.apps import camera
+
+        video = str(tmp_path / "in.mp4")
+        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (124, 92))
+        rng = np.random.RandomState(0)
+        for _ in range(5):
+            wr.write(rng.randint(0, 255, (92, 124, 3), dtype=np.uint8))
+        wr.release()
+
+        stub = _stub_pose_detector()  # build before patching the symbol
+        monkeypatch.setattr(det_mod, "PoseDetector",
+                            lambda *a, **kw: stub)
+        out = str(tmp_path / "out.mp4")
+        camera.main(["pose", "--video", video, "--headless",
+                     "--save", out, "--max-frames", "4"])
+        assert os.path.exists(out)
+        cap = CV2.VideoCapture(out)
+        n = int(cap.get(CV2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        assert n >= 3

@@ -1,0 +1,158 @@
+"""Streaming camera / video apps: pose overlay and face-keypoint overlay.
+
+TPU-native replacement for the reference's serial capture->infer->imshow
+loops (``/root/reference/camera_pose_demo.py:8-31`` and
+``camera_face_demo.py:26-59``): the pose pipeline is software-pipelined —
+the device computes frame N while the host captures and draws frame N-1
+(``PoseDetector.submit``/``collect``), so host and TPU work overlap instead
+of alternating.  Adds a ``--video`` file mode and ``--save`` output-video
+mode (the reference supports live webcams only).
+
+Usage:
+  python -m tpupose.apps.camera pose [--camera 0 | --video in.mp4]
+      [--weights coco_posenet.npz] [--save out.mp4] [--headless] [--max-frames N]
+  python -m tpupose.apps.camera face [--camera 0 | --video in.mp4] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def open_capture(args):
+    import cv2
+
+    if args.video:
+        cap = cv2.VideoCapture(args.video)
+    else:
+        cap = cv2.VideoCapture(args.camera)
+        cap.set(cv2.CAP_PROP_FRAME_WIDTH, 640)
+        cap.set(cv2.CAP_PROP_FRAME_HEIGHT, 480)
+    if not cap.isOpened():
+        raise RuntimeError("failed to open video source")
+    return cap
+
+
+def make_sink(args, frame_shape):
+    import cv2
+
+    writer = None
+    if args.save:
+        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+        writer = cv2.VideoWriter(args.save, fourcc, 30.0,
+                                 (frame_shape[1], frame_shape[0]))
+
+    def emit(img):
+        if writer is not None:
+            writer.write(img)
+        if not args.headless:
+            cv2.imshow("result", img)
+            cv2.waitKey(1)
+
+    return emit, writer
+
+
+def run_pose(args):
+    import cv2
+
+    from tpupose.detectors import PoseDetector, draw_person_pose
+
+    detector = PoseDetector("posenet", weights_file=args.weights)
+    cap = open_capture(args)
+
+    emit = writer = None
+    pending = None     # (handle, frame) in flight on device
+    n_frames = 0
+    t0 = time.perf_counter()
+    while True:
+        ret, img = cap.read()
+        if not ret:
+            print("Failed to capture image" if not args.video
+                  else "End of video")
+            break
+        handle = detector.submit(img)     # dispatch frame N (non-blocking)
+        if pending is not None:           # draw frame N-1 while N computes
+            prev_handle, prev_img = pending
+            poses, _ = detector.collect(prev_handle)
+            res = cv2.addWeighted(prev_img, 0.6,
+                                  draw_person_pose(prev_img, poses), 0.4, 0)
+            if emit is None:
+                emit, writer = make_sink(args, prev_img.shape)
+            emit(res)
+            n_frames += 1
+        pending = (handle, img)
+        if args.max_frames and n_frames >= args.max_frames:
+            break
+    if pending is not None and (not args.max_frames
+                                or n_frames < args.max_frames):
+        handle, img = pending
+        poses, _ = detector.collect(handle)
+        res = cv2.addWeighted(img, 0.6, draw_person_pose(img, poses),
+                              0.4, 0)
+        if emit is None:
+            emit, writer = make_sink(args, img.shape)
+        emit(res)
+        n_frames += 1
+    dt = time.perf_counter() - t0
+    if n_frames:
+        print(f"{n_frames} frames in {dt:.2f}s = {n_frames / dt:.2f} FPS")
+    cap.release()
+    if writer is not None:
+        writer.release()
+
+
+def run_face(args):
+    """Haar-cascade face detect -> crop -> FaceNet keypoints
+    (ref ``camera_face_demo.py:26-59``; the cascade file ships with
+    OpenCV)."""
+    import cv2
+
+    from tpupose.detectors import FaceDetector, crop_face_haar
+    from tpupose.detectors.draw import draw_face_keypoints
+
+    detector = FaceDetector("facenet", weights_file=args.weights)
+    cascade = cv2.CascadeClassifier(
+        cv2.data.haarcascades + "haarcascade_frontalface_alt.xml")
+    cap = open_capture(args)
+    emit = writer = None
+    n_frames = 0
+    while True:
+        ret, img = cap.read()
+        if not ret:
+            break
+        res = img.copy()
+        rects = cascade.detectMultiScale(
+            cv2.cvtColor(img, cv2.COLOR_BGR2GRAY), scaleFactor=1.1,
+            minNeighbors=5, minSize=(30, 30))
+        for rect in rects:
+            crop, left_top = crop_face_haar(img, rect)
+            keypoints = detector(crop)
+            res = draw_face_keypoints(res, keypoints, left_top)
+        if emit is None:
+            emit, writer = make_sink(args, img.shape)
+        emit(res)
+        n_frames += 1
+        if args.max_frames and n_frames >= args.max_frames:
+            break
+    cap.release()
+    if writer is not None:
+        writer.release()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Streaming pose/face demo")
+    p.add_argument("mode", choices=("pose", "face"))
+    p.add_argument("--camera", type=int, default=0)
+    p.add_argument("--video", help="video file instead of camera")
+    p.add_argument("--weights", help=".npz weight file")
+    p.add_argument("--save", help="write result video to this path")
+    p.add_argument("--headless", action="store_true",
+                   help="no imshow window")
+    p.add_argument("--max-frames", type=int, default=0)
+    args = p.parse_args(argv)
+    (run_pose if args.mode == "pose" else run_face)(args)
+
+
+if __name__ == "__main__":
+    main()

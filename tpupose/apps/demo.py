@@ -1,0 +1,95 @@
+"""Demo cascade: pose -> per-person face + hand keypoints -> overlay.
+
+The reference app (``/root/reference/demo.py:11-60``) loads all three nets
+and, for each detected person, derives the anthropometric face/hand crops
+and runs the face/hand nets serially.  The same cascade here keeps all three
+jitted models resident and batches repeated crop geometries through the jit
+caches.
+
+Usage:
+  python -m tpupose.apps.demo --img photo.png \
+      [--pose-weights coco_posenet.npz --face-weights facenet.npz \
+       --hand-weights handnet.npz] [--precise] [--out result.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def run_cascade(img, pose_detector, face_detector, hand_detector):
+    """Full cascade on one BGR image; returns (result_img, results dict)."""
+    import cv2
+    import numpy as np
+
+    from tpupose.detectors import (
+        crop_face, crop_hands, draw_face_keypoints, draw_hand_keypoints,
+        draw_person_pose, get_unit_length)
+
+    poses, scores = pose_detector(img)
+    res_img = cv2.addWeighted(img, 0.6, draw_person_pose(img, poses), 0.4, 0)
+    results = {"poses": poses, "scores": scores, "faces": [], "hands": []}
+
+    for person_pose in poses:
+        unit_length = get_unit_length(person_pose)
+
+        cropped_face, bbox = crop_face(img, person_pose, unit_length)
+        if cropped_face is not None:
+            face_keypoints = face_detector(cropped_face)
+            results["faces"].append((face_keypoints, bbox))
+            res_img = draw_face_keypoints(res_img, face_keypoints,
+                                          (bbox[0], bbox[1]))
+            cv2.rectangle(res_img, (bbox[0], bbox[1]), (bbox[2], bbox[3]),
+                          (255, 255, 255), 1)
+
+        hands = crop_hands(img, person_pose, unit_length)
+        for side in ("left", "right"):
+            if hands[side] is None:
+                continue
+            hand_keypoints = hand_detector(hands[side]["img"],
+                                           hand_type=side)
+            bbox = hands[side]["bbox"]
+            results["hands"].append((side, hand_keypoints, bbox))
+            res_img = draw_hand_keypoints(res_img, hand_keypoints,
+                                          (bbox[0], bbox[1]))
+            cv2.rectangle(res_img, (bbox[0], bbox[1]), (bbox[2], bbox[3]),
+                          (255, 255, 255), 1)
+    return res_img, results
+
+
+def main(argv=None):
+    import cv2
+
+    from tpupose.detectors import FaceDetector, HandDetector, PoseDetector
+
+    p = argparse.ArgumentParser(description="Pose+face+hand demo cascade")
+    p.add_argument("--img", required=True, help="input image path")
+    p.add_argument("--out", default="result.png")
+    p.add_argument("--pose-weights", help="coco_posenet.npz")
+    p.add_argument("--face-weights", help="facenet.npz")
+    p.add_argument("--hand-weights", help="handnet.npz")
+    p.add_argument("--precise", action="store_true",
+                   help="multi-scale pose inference")
+    args = p.parse_args(argv)
+
+    pose_detector = PoseDetector(
+        "posenet", weights_file=args.pose_weights, precise=args.precise)
+    face_detector = FaceDetector("facenet", weights_file=args.face_weights)
+    hand_detector = HandDetector("handnet", weights_file=args.hand_weights)
+
+    img = cv2.imread(args.img)
+    if img is None:
+        raise FileNotFoundError(args.img)
+
+    print("Estimating pose...")
+    res_img, results = run_cascade(
+        img, pose_detector, face_detector, hand_detector)
+    n = len(results["poses"])
+    print(f"{n} people, {len(results['faces'])} faces, "
+          f"{len(results['hands'])} hands")
+    print(f"Saving result into {args.out}...")
+    cv2.imwrite(args.out, res_img)
+
+
+if __name__ == "__main__":
+    main()

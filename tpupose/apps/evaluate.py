@@ -1,0 +1,78 @@
+"""COCO val keypoint-AP evaluation harness.
+
+Runs the PoseDetector over the eval-mode dataset and scores it with the
+native OKS evaluator (``tpupose.evaluation``).  The reference provides only
+the eval-mode data plumbing (``coco_data_loader.py:21-22,307-308``) and no
+AP script — this app completes that capability (BASELINE.md: COCO val2017
+AP within 0.5 of the reference).
+
+Usage:
+  python -m tpupose.apps.evaluate --coco_dir /data/coco \
+      --weights coco_posenet.npz [--precise] [--n_samples 100] [--out eval.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def evaluate_detector(detector, dataset, limit=None, verbose=True):
+    """Run ``detector`` over ``dataset`` (eval mode); returns (metrics,
+    results list)."""
+    from tpupose.evaluation import KeypointEvaluator, poses_to_results
+
+    evaluator = KeypointEvaluator()
+    results = []
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    t0 = time.perf_counter()
+    for i in range(n):
+        img, gts, img_id = dataset.eval_sample(i)
+        poses, scores = detector(img)
+        dts = poses_to_results(poses, scores, img_id)
+        results.extend(dts)
+        evaluator.add_image(dts, gts)
+        if verbose and (i + 1) % 20 == 0:
+            dt = time.perf_counter() - t0
+            print(f"  [{i + 1}/{n}] {dt / (i + 1):.2f}s/img")
+    metrics = evaluator.summarize()
+    metrics["images"] = n
+    metrics["seconds_per_image"] = (time.perf_counter() - t0) / max(n, 1)
+    return metrics, results
+
+
+def main(argv=None):
+    import os
+
+    from tpupose.data import CocoPoseDataset
+    from tpupose.detectors import PoseDetector
+
+    p = argparse.ArgumentParser(description="COCO keypoint AP evaluation")
+    p.add_argument("--coco_dir", required=True)
+    p.add_argument("--split", default="val2017")
+    p.add_argument("--weights", help="coco_posenet.npz")
+    p.add_argument("--precise", action="store_true")
+    p.add_argument("--n_samples", type=int, default=None)
+    p.add_argument("--out", help="write metrics + results JSON here")
+    args = p.parse_args(argv)
+
+    ann = os.path.join(
+        args.coco_dir, "annotations",
+        f"person_keypoints_{args.split}.json")
+    dataset = CocoPoseDataset(
+        ann, os.path.join(args.coco_dir, args.split), mode="eval",
+        n_samples=args.n_samples)
+    detector = PoseDetector("posenet", weights_file=args.weights,
+                            precise=args.precise)
+
+    metrics, results = evaluate_detector(detector, dataset)
+    for k, v in metrics.items():
+        print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"metrics": metrics, "results": results}, f)
+
+
+if __name__ == "__main__":
+    main()

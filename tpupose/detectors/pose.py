@@ -108,7 +108,15 @@ class PoseDetector:
             self._fast_fns[key] = jax.jit(fn)
         return self._fast_fns[key]
 
-    def _detect_fast(self, orig_img: np.ndarray):
+    def submit(self, orig_img: np.ndarray):
+        """Dispatch the fast-path device computation WITHOUT blocking on the
+        result — returns an opaque pending handle for ``collect``.
+
+        This is the streaming-pipeline API (SURVEY.md section 7 step 6): a
+        capture loop can overlap host capture/draw of frame N with device
+        compute of frame N+1 (JAX dispatch is asynchronous; only
+        ``collect`` forces the device->host transfer).
+        """
         import cv2
 
         orig_h, orig_w = orig_img.shape[:2]
@@ -120,8 +128,15 @@ class PoseDetector:
         resized = cv2.resize(orig_img, (input_w, input_h))
         fn = self._fast_fn((input_h, input_w), (map_h, map_w))
         result = fn(self.variables, jnp.asarray(resized))
-        return self._emit(result, scale_x=orig_w / map_w,
-                          scale_y=orig_h / map_h)
+        return (result, orig_w / map_w, orig_h / map_h)
+
+    def collect(self, pending):
+        """Block on a ``submit`` handle and return (poses, scores)."""
+        result, scale_x, scale_y = pending
+        return self._emit(result, scale_x=scale_x, scale_y=scale_y)
+
+    def _detect_fast(self, orig_img: np.ndarray):
+        return self.collect(self.submit(orig_img))
 
     # ------------------------------------------------------------------
     # precise multi-scale path (ref ``pose_detector.py:433-482``)
