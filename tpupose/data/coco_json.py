@@ -23,7 +23,15 @@ def decode_compressed_rle(rle_str: str, h: int, w: int) -> np.ndarray:
     count is stored as a sequence of 6-bit chunks (+48 ascii offset), with
     bit 5 as the continuation flag; counts beyond the first two are deltas
     from the count two positions back.  Column-major (Fortran) pixel order.
+
+    Uses the native C++ decoder (``tpupose.native.maskops``) when the
+    library is available, else this pure-Python fallback.
     """
+    from tpupose.native import rle_decode_native
+
+    native = rle_decode_native(rle_str, h, w)
+    if native is not None:
+        return native
     counts: List[int] = []
     i = 0
     m = len(rle_str)
@@ -46,6 +54,11 @@ def decode_compressed_rle(rle_str: str, h: int, w: int) -> np.ndarray:
 
 
 def _rle_counts_to_mask(counts, h: int, w: int) -> np.ndarray:
+    from tpupose.native import rle_counts_to_mask_native
+
+    native = rle_counts_to_mask_native(counts, h, w)
+    if native is not None:
+        return native
     flat = np.zeros(h * w, np.uint8)
     pos = 0
     val = 0
