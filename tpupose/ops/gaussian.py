@@ -52,14 +52,19 @@ def gaussian_blur_reflect(heatmaps: jnp.ndarray, sigma: float,
     # Depthwise 1-D conv via conv_general_dilated on NHWC with C=1.
     xp4 = xp[..., None]  # (N, H+2r, W, 1)
     kh = k.reshape(len(kernel), 1, 1, 1)  # HWIO
+    # HIGHEST precision: TPU would otherwise run the f32 conv through
+    # bf16 MXU passes (~1e-3 error — enough to flip NMS comparisons and
+    # break keypoint parity with the SciPy CPU golden path).
     y = lax.conv_general_dilated(
         xp4, kh, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)
     # Cols (axis -1).
     yp = jnp.pad(y[..., 0], ((0, 0), (0, 0), (radius, radius)),
                  mode="symmetric")[..., None]
     kw = k.reshape(1, len(kernel), 1, 1)
     z = lax.conv_general_dilated(
         yp, kw, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)
     return z[..., 0].reshape(orig_shape)

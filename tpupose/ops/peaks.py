@@ -97,14 +97,30 @@ def extract_peaks(mask: jnp.ndarray, smoothed: jnp.ndarray,
 
 
 def find_peaks(heatmaps: jnp.ndarray, sigma: float, thresh: float,
-               max_peaks: int) -> Peaks:
+               max_peaks: int, use_pallas: bool = None) -> Peaks:
     """Full peak pipeline: blur -> NMS -> static top-K extraction.
 
     heatmaps: (J, H, W) *without* the background channel (the reference
     drops it at ``pose_detector.py:78``).
+
+    ``use_pallas=True`` runs blur+NMS as one fused Pallas kernel
+    (``tpupose/ops/pallas/blur_nms.py``) — a single VMEM-resident pass per
+    joint channel.  The default is the XLA depthwise-conv path with
+    identical (SciPy-exact) semantics: measured on a v5e chip both are
+    bit-identical and XLA is faster at pose-map sizes (1.45 vs 2.63
+    ms/call at 18x46x62), so Pallas stays opt-in.
     """
-    smoothed = gaussian_blur_reflect(heatmaps, sigma)
-    mask = nms_mask(smoothed, thresh)
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from tpupose.ops.pallas.blur_nms import blur_nms_pallas
+
+        smoothed, mask = blur_nms_pallas(
+            heatmaps, sigma, thresh,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        smoothed = gaussian_blur_reflect(heatmaps, sigma)
+        mask = nms_mask(smoothed, thresh)
     return extract_peaks(mask, smoothed, max_peaks)
 
 
