@@ -154,6 +154,12 @@ class InferenceConfig:
     # number of peaks per joint and person subsets a single image can hold.
     max_peaks_per_joint: int = 32
     max_subsets: int = 64
+    # Precise mode: build the scale pyramid on device from ONE upload of
+    # the original image (cubic resize + u8 quantization emulated in
+    # float, within +-1 u8 LSB of cv2's fixed-point path).  False = exact
+    # host cv2.INTER_CUBIC pyramid as the reference (``pose_detector.py:
+    # 441-445``), uploading every scale.
+    device_pyramid: bool = True
     # Mean RGB padding value used by precise-mode ``pad_image``
     # (ref ``pose_detector.py:445``).
     pad_value: Tuple[int, int, int] = (104, 117, 123)

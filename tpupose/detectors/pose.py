@@ -188,23 +188,80 @@ class PoseDetector:
             self._avg_fns[key] = jax.jit(fn)
         return self._avg_fns[key]
 
+    def _device_scale_fn(self, orig_hw: Tuple[int, int],
+                         scaled_hw: Tuple[int, int],
+                         padded_hw: Tuple[int, int]):
+        """Per-scale program taking the ORIGINAL u8 image: cubic resize +
+        u8 quantization + stride pad on device, then forward + map resize
+        back to original resolution.
+
+        Bandwidth-first variant of the reference's host pyramid
+        (``pose_detector.py:441-445``): the original frame is uploaded
+        once for all scales (the remote-chip link here moves ~26 MB/s, so
+        shipping each scaled copy dominated precise-mode latency).
+        """
+        key = ("dev", orig_hw, scaled_hw, padded_hw)
+        if key not in self._scale_fns:
+            model = self.model
+            o_h, o_w = orig_hw
+            s_h, s_w = scaled_hw
+            p_h, p_w = padded_hw
+            pad_val = jnp.asarray(self.cfg.pad_value, jnp.float32)
+
+            def fn(variables, orig_u8):
+                img = resize_cv2_cubic(
+                    orig_u8.astype(jnp.float32), (s_h, s_w))
+                # cv2 resizes in uint8 (round + saturate); emulate the
+                # quantization so downstream values match within 1 LSB.
+                img = jnp.clip(jnp.round(img), 0.0, 255.0)
+                img = jnp.pad(
+                    img, ((0, p_h - s_h), (0, p_w - s_w), (0, 0)),
+                    constant_values=0.0)
+                pad_mask = jnp.zeros((p_h, p_w, 1), jnp.float32)
+                pad_mask = pad_mask.at[:s_h, :s_w].set(1.0)
+                img = img * pad_mask + pad_val * (1.0 - pad_mask)
+                x = (img / 255.0 - 0.5)[None]
+                pafs, heatmaps = model.apply(variables, x)
+                paf = pafs[-1, 0]
+                hm = heatmaps[-1, 0]
+                paf = resize_cv2_cubic(paf, (p_h, p_w))
+                paf = paf[:s_h, :s_w]
+                paf = resize_cv2_cubic(paf, (o_h, o_w))
+                hm = resize_cv2_cubic(hm, (p_h, p_w))
+                hm = hm[:s_h, :s_w]
+                hm = resize_cv2_cubic(hm, (o_h, o_w))
+                return paf, hm
+
+            self._scale_fns[key] = jax.jit(fn)
+        return self._scale_fns[key]
+
     def detect_precise(self, orig_img: np.ndarray):
         import cv2
         import math
 
         orig_h, orig_w = orig_img.shape[:2]
         paf_list, hm_list = [], []
+        orig_dev = (jnp.asarray(orig_img)
+                    if self.cfg.device_pyramid else None)
         for scale in self.cfg.scales:
             multiplier = scale * self.cfg.img_size / min(orig_h, orig_w)
-            img = cv2.resize(
-                orig_img,
-                (math.ceil(orig_w * multiplier),
-                 math.ceil(orig_h * multiplier)),
-                interpolation=cv2.INTER_CUBIC)
-            padded, pad = pad_image_np(
-                img, self.cfg.downscale, self.cfg.pad_value)
-            fn = self._scale_fn(padded.shape[:2], pad, (orig_h, orig_w))
-            paf, hm = fn(self.variables, jnp.asarray(padded))
+            scaled_hw = (math.ceil(orig_h * multiplier),
+                         math.ceil(orig_w * multiplier))
+            if self.cfg.device_pyramid:
+                pad_b = (-scaled_hw[0]) % self.cfg.downscale
+                pad_r = (-scaled_hw[1]) % self.cfg.downscale
+                padded_hw = (scaled_hw[0] + pad_b, scaled_hw[1] + pad_r)
+                fn = self._device_scale_fn(
+                    (orig_h, orig_w), scaled_hw, padded_hw)
+                paf, hm = fn(self.variables, orig_dev)
+            else:
+                img = cv2.resize(orig_img, (scaled_hw[1], scaled_hw[0]),
+                                 interpolation=cv2.INTER_CUBIC)
+                padded, pad = pad_image_np(
+                    img, self.cfg.downscale, self.cfg.pad_value)
+                fn = self._scale_fn(padded.shape[:2], pad,
+                                    (orig_h, orig_w))
+                paf, hm = fn(self.variables, jnp.asarray(padded))
             paf_list.append(paf)
             hm_list.append(hm)
 

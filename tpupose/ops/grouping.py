@@ -75,7 +75,16 @@ class Subsets(NamedTuple):
 
 def group_keypoints(connections: Connections, peaks: Peaks,
                     cfg: InferenceConfig) -> Subsets:
-    """Fold all connections into subsets on device."""
+    """Fold all connections into subsets on device.
+
+    Grouping is inherently sequential (each fold reads the subset table the
+    previous folds produced), but almost all of the (L x K) connection
+    slots are invalid padding.  The loop therefore runs as a
+    ``while_loop`` over a COMPACTED index list — valid connections first,
+    in exactly the reference's (limb-major, greedy-acceptance) order — so
+    the sequential depth is the actual number of accepted connections
+    (~people x limbs) instead of L*K = 608 fixed steps.
+    """
     num_limbs = connections.a_slot.shape[0]
     k = connections.a_slot.shape[1]
     s_cap = cfg.max_subsets
@@ -85,10 +94,16 @@ def group_keypoints(connections: Connections, peaks: Peaks,
     spawning = jnp.asarray(
         [l not in NON_SPAWNING_LIMBS for l in range(num_limbs)])
 
+    flat_valid = connections.valid.reshape(-1)          # (L*K,)
+    # stable partition: valid-first, original order preserved
+    compact = jnp.argsort(~flat_valid, stable=True)
+    n_valid = jnp.sum(flat_valid).astype(jnp.int32)
+
     def body(i, state):
         joint_slot, score, count, active, n_created = state
-        l = i // k
-        c = i % k
+        idx = compact[i]
+        l = idx // k
+        c = idx % k
         ja, jb = limbs_a[l], limbs_b[l]
         ind_a = connections.a_slot[l, c]
         ind_b = connections.b_slot[l, c]
@@ -181,8 +196,17 @@ def group_keypoints(connections: Connections, peaks: Peaks,
         jnp.zeros((s_cap,), bool),
         jnp.int32(0),
     )
-    joint_slot, score, count, active, _ = jax.lax.fori_loop(
-        0, num_limbs * k, body, init)
+
+    def while_cond(carry):
+        i, _ = carry
+        return i < n_valid
+
+    def while_body(carry):
+        i, state = carry
+        return i + 1, body(i, state)
+
+    _, (joint_slot, score, count, active, _) = jax.lax.while_loop(
+        while_cond, while_body, (jnp.int32(0), init))
 
     # Final filter (ref ``pose_detector.py:248``): count here is the joint
     # count (column -1 in the reference); the limb threshold is applied to
