@@ -1,0 +1,126 @@
+"""Detector-level tests: preprocessing parity, degenerate inputs,
+device-pyramid vs host-cv2 pyramid, submit/collect streaming API."""
+
+import sys
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from tpupose.config import InferenceConfig
+from tpupose.detectors.pose import pad_image_np
+from tpupose.ops.resize import compute_optimal_size, resize_cv2_cubic
+
+CV2 = pytest.importorskip("cv2")
+
+SMALL_CFG = InferenceConfig(
+    img_size=64, heatmap_size=64, max_peaks_per_joint=8, max_subsets=16)
+
+
+def _stub_detector(precise=False):
+    from test_eval_apps import _stub_pose_detector
+
+    det = _stub_pose_detector(precise=precise)
+    if precise:
+        det.cfg = SMALL_CFG
+    return det
+
+
+class TestDevicePyramid:
+    def test_resize_quantize_matches_cv2_within_1lsb(self):
+        """Device cubic resize + round/clip vs cv2 uint8 INTER_CUBIC: the
+        fixed-point vs float difference must stay within 1 u8 step for
+        essentially every pixel."""
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (120, 90, 3), dtype=np.uint8)
+        for out_hw in [(61, 45), (181, 137), (240, 180)]:
+            ref = CV2.resize(img, (out_hw[1], out_hw[0]),
+                             interpolation=CV2.INTER_CUBIC)
+            dev = np.asarray(jnp.clip(jnp.round(
+                resize_cv2_cubic(jnp.asarray(img, jnp.float32), out_hw)),
+                0, 255)).astype(np.uint8)
+            diff = np.abs(dev.astype(int) - ref.astype(int))
+            assert (diff <= 1).mean() > 0.999, out_hw
+            assert diff.max() <= 2
+
+    def test_precise_modes_agree(self):
+        """Full precise detection with device pyramid vs host pyramid must
+        produce the same poses (stub model -> identical maps)."""
+        from test_eval_apps import _stub_pose_detector
+        import dataclasses
+
+        img = np.random.RandomState(1).randint(
+            0, 255, (92, 124, 3), dtype=np.uint8)
+        det_dev = _stub_pose_detector(precise=True)
+        det_dev.cfg = dataclasses.replace(SMALL_CFG, device_pyramid=True)
+        det_host = _stub_pose_detector(precise=True)
+        det_host.cfg = dataclasses.replace(SMALL_CFG, device_pyramid=False)
+        poses_d, scores_d = det_dev(img)
+        poses_h, scores_h = det_host(img)
+        np.testing.assert_array_equal(poses_d, poses_h)
+        np.testing.assert_allclose(scores_d, scores_h, rtol=1e-5)
+
+
+class TestDegenerateInputs:
+    def test_tiny_images_do_not_crash(self):
+        det = _stub_detector()
+        for shape in [(1, 1, 3), (16, 9, 3), (9, 16, 3)]:
+            img = np.zeros(shape, np.uint8)
+            poses, scores = det(img)
+            assert poses.shape[1:] == (18, 3) or poses.shape == (0, 18, 3)
+
+    def test_empty_heatmaps_return_no_people(self):
+        from test_eval_apps import _StubModel
+        from tpupose.detectors import PoseDetector
+
+        det = PoseDetector("posenet", params={"params": {}}, cfg=SMALL_CFG)
+        det.model = _StubModel(np.zeros((38, 46, 62), np.float32),
+                               np.zeros((19, 46, 62), np.float32))
+        poses, scores = det(np.zeros((80, 100, 3), np.uint8))
+        assert poses.shape == (0, 18, 3)
+        assert scores.shape == (0,)
+
+
+class TestStreamingAPI:
+    def test_submit_collect_matches_call(self):
+        det = _stub_detector()
+        img = np.random.RandomState(2).randint(
+            0, 255, (92, 124, 3), dtype=np.uint8)
+        poses_a, scores_a = det(img)
+        poses_b, scores_b = det.collect(det.submit(img))
+        np.testing.assert_array_equal(poses_a, poses_b)
+        np.testing.assert_array_equal(scores_a, scores_b)
+
+    def test_pipelined_order_independent(self):
+        """Two frames in flight: results correspond to their own frames."""
+        det = _stub_detector()
+        rng = np.random.RandomState(3)
+        img1 = rng.randint(0, 255, (92, 124, 3), dtype=np.uint8)
+        img2 = rng.randint(0, 255, (92, 124, 3), dtype=np.uint8)
+        h1 = det.submit(img1)
+        h2 = det.submit(img2)
+        p1, _ = det.collect(h1)
+        p2, _ = det.collect(h2)
+        q1, _ = det(img1)
+        q2, _ = det(img2)
+        np.testing.assert_array_equal(p1, q1)
+        np.testing.assert_array_equal(p2, q2)
+
+
+class TestPreprocess:
+    def test_compute_optimal_size_stride(self):
+        for h, w in [(480, 640), (584, 584), (37, 91)]:
+            out_w, out_h = compute_optimal_size(h, w, 368, 8)
+            assert out_w % 8 == 0 or out_w == 368
+            assert out_h % 8 == 0 or out_h == 368
+
+    def test_pad_image(self):
+        img = np.zeros((37, 53, 3), np.uint8)
+        padded, (pad_b, pad_r) = pad_image_np(img, 8, (104, 117, 123))
+        assert padded.shape[0] % 8 == 0 and padded.shape[1] % 8 == 0
+        assert (padded[:37, :53] == 0).all()
+        if pad_b:
+            assert tuple(padded[-1, 0]) == (104, 117, 123)
