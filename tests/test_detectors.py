@@ -124,3 +124,38 @@ class TestPreprocess:
         assert (padded[:37, :53] == 0).all()
         if pad_b:
             assert tuple(padded[-1, 0]) == (104, 117, 123)
+
+
+class TestBatchedDetect:
+    def test_detect_batch_matches_single(self):
+        det = _stub_detector()
+        rng = np.random.RandomState(4)
+        imgs = rng.randint(0, 255, (3, 92, 124, 3), dtype=np.uint8)
+        batched = det.detect_batch(imgs)
+        for i in range(3):
+            poses_s, scores_s = det(imgs[i])
+            poses_b, scores_b = batched[i]
+            np.testing.assert_array_equal(poses_s, poses_b)
+            np.testing.assert_allclose(scores_s, scores_b, rtol=1e-5)
+
+    def test_camera_batch_mode(self, tmp_path, monkeypatch):
+        import tpupose.detectors as det_mod
+        from tpupose.apps import camera
+
+        video = str(tmp_path / "in.mp4")
+        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (124, 92))
+        rng = np.random.RandomState(0)
+        for _ in range(6):
+            wr.write(rng.randint(0, 255, (92, 124, 3), dtype=np.uint8))
+        wr.release()
+
+        stub = _stub_detector()
+        monkeypatch.setattr(det_mod, "PoseDetector",
+                            lambda *a, **kw: stub)
+        out = str(tmp_path / "out.mp4")
+        camera.main(["pose", "--video", video, "--headless", "--save", out,
+                     "--batch", "3", "--max-frames", "6"])
+        cap = CV2.VideoCapture(out)
+        assert int(cap.get(CV2.CAP_PROP_FRAME_COUNT)) == 6
+        cap.release()

@@ -53,10 +53,58 @@ def make_sink(args, frame_shape):
     return emit, writer
 
 
+def run_pose_batched(args):
+    """Batched throughput mode: groups of ``--batch`` frames go through
+    one fused device program (new capability; the reference is strictly
+    frame-by-frame)."""
+    import cv2
+
+    from tpupose.detectors import PoseDetector, draw_person_pose
+
+    detector = PoseDetector("posenet", weights_file=args.weights)
+    cap = open_capture(args)
+    emit = writer = None
+    n_frames = 0
+    t0 = time.perf_counter()
+    import numpy as np
+
+    while True:
+        frames = []
+        while len(frames) < args.batch:
+            ret, img = cap.read()
+            if not ret:
+                break
+            frames.append(img)
+        if not frames:
+            break
+        results = detector.detect_batch(np.stack(frames))
+        for img, (poses, _) in zip(frames, results):
+            res = cv2.addWeighted(img, 0.6, draw_person_pose(img, poses),
+                                  0.4, 0)
+            if emit is None:
+                emit, writer = make_sink(args, img.shape)
+            emit(res)
+            n_frames += 1
+        if len(frames) < args.batch:
+            break
+        if args.max_frames and n_frames >= args.max_frames:
+            break
+    dt = time.perf_counter() - t0
+    if n_frames:
+        print(f"{n_frames} frames in {dt:.2f}s = {n_frames / dt:.2f} FPS "
+              f"(batch {args.batch})")
+    cap.release()
+    if writer is not None:
+        writer.release()
+
+
 def run_pose(args):
     import cv2
 
     from tpupose.detectors import PoseDetector, draw_person_pose
+
+    if args.batch > 1:
+        return run_pose_batched(args)
 
     detector = PoseDetector("posenet", weights_file=args.weights)
     cap = open_capture(args)
@@ -150,6 +198,8 @@ def main(argv=None):
     p.add_argument("--headless", action="store_true",
                    help="no imshow window")
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--batch", type=int, default=1,
+                   help="pose mode: frames per fused device batch")
     args = p.parse_args(argv)
     (run_pose if args.mode == "pose" else run_face)(args)
 

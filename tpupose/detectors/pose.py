@@ -139,6 +139,62 @@ class PoseDetector:
         return self.collect(self.submit(orig_img))
 
     # ------------------------------------------------------------------
+    # batched fast path (new capability: the reference processes frames
+    # strictly one at a time, ``camera_pose_demo.py:20-31``)
+    # ------------------------------------------------------------------
+
+    def _batch_fn(self, batch: int, in_hw: Tuple[int, int],
+                  map_hw: Tuple[int, int]):
+        key = ("batch", batch, in_hw, map_hw)
+        if key not in self._fast_fns:
+            cfg = self.cfg
+            model = self.model
+
+            def fn(variables, imgs_u8):
+                x = preprocess_u8(imgs_u8)            # (B, H, W, 3)
+                pafs, heatmaps = model.apply(variables, x)
+                paf = resize_chainer(pafs[-1], map_hw)      # (B, h, w, 38)
+                hm = resize_chainer(heatmaps[-1], map_hw)   # (B, h, w, 19)
+
+                def per_frame(p, h):
+                    return postprocess_pose(
+                        jnp.transpose(p, (2, 0, 1)),
+                        jnp.transpose(h, (2, 0, 1)),
+                        jnp.float32(map_hw[1]), cfg)
+
+                return jax.vmap(per_frame)(paf, hm)
+
+            self._fast_fns[key] = jax.jit(fn)
+        return self._fast_fns[key]
+
+    def detect_batch(self, imgs: np.ndarray):
+        """Batched fast-path inference over same-sized frames.
+
+        imgs: (B, H, W, 3) uint8 -> list of (poses, scores) per frame.
+        One upload / one fused program / one download for the whole batch
+        — the batch dimension rides the MXU, so per-frame cost drops well
+        below the single-frame path for streaming workloads.
+        """
+        import cv2
+
+        imgs = np.asarray(imgs)
+        b, orig_h, orig_w = imgs.shape[:3]
+        input_w, input_h = compute_optimal_size(
+            orig_h, orig_w, self.cfg.img_size, self.cfg.downscale)
+        map_w, map_h = compute_optimal_size(
+            orig_h, orig_w, self.cfg.heatmap_size, self.cfg.downscale)
+        resized = np.stack(
+            [cv2.resize(img, (input_w, input_h)) for img in imgs])
+        fn = self._batch_fn(b, (input_h, input_w), (map_h, map_w))
+        results = fn(self.variables, jnp.asarray(resized))
+        out = []
+        for i in range(b):
+            frame_result = jax.tree_util.tree_map(lambda a: a[i], results)
+            out.append(self._emit(frame_result, scale_x=orig_w / map_w,
+                                  scale_y=orig_h / map_h))
+        return out
+
+    # ------------------------------------------------------------------
     # precise multi-scale path (ref ``pose_detector.py:433-482``)
     # ------------------------------------------------------------------
 
