@@ -72,3 +72,30 @@ class FaceDetector:
             [int(xs[i]), int(ys[i]), float(score[i])] if valid[i] else None
             for i in range(len(xs))
         ]
+
+
+def _main():
+    """CLI parity with ``face_detector.py:116-139``:
+    ``python -m tpupose.detectors.face facenet <npz> --img face.png``"""
+    import argparse
+
+    import cv2
+
+    from tpupose.detectors.draw import draw_face_keypoints
+
+    p = argparse.ArgumentParser(description="Face detector")
+    p.add_argument("arch", choices=("facenet",))
+    p.add_argument("weights", help="weights file path (.npz)")
+    p.add_argument("--img", required=True)
+    p.add_argument("--out", default="result.png")
+    args = p.parse_args()
+
+    detector = FaceDetector(args.arch, weights_file=args.weights)
+    img = cv2.imread(args.img)
+    keypoints = detector(img)
+    print(f"Saving result into {args.out}...")
+    cv2.imwrite(args.out, draw_face_keypoints(img, keypoints, (0, 0)))
+
+
+if __name__ == "__main__":
+    _main()

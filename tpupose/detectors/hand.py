@@ -75,3 +75,31 @@ class HandDetector:
             [int(xs[i]), int(ys[i]), float(score[i])] if valid[i] else None
             for i in range(len(xs))
         ]
+
+
+def _main():
+    """CLI parity with ``hand_detector.py:119-140``:
+    ``python -m tpupose.detectors.hand handnet <npz> --img hand.png``"""
+    import argparse
+
+    import cv2
+
+    from tpupose.detectors.draw import draw_hand_keypoints
+
+    p = argparse.ArgumentParser(description="Hand detector")
+    p.add_argument("arch", choices=("handnet",))
+    p.add_argument("weights", help="weights file path (.npz)")
+    p.add_argument("--img", required=True)
+    p.add_argument("--hand-type", default="right", choices=("left", "right"))
+    p.add_argument("--out", default="result.png")
+    args = p.parse_args()
+
+    detector = HandDetector(args.arch, weights_file=args.weights)
+    img = cv2.imread(args.img)
+    keypoints = detector(img, hand_type=args.hand_type)
+    print(f"Saving result into {args.out}...")
+    cv2.imwrite(args.out, draw_hand_keypoints(img, keypoints, (0, 0)))
+
+
+if __name__ == "__main__":
+    _main()

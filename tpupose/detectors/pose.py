@@ -344,3 +344,36 @@ class PoseDetector:
         if self.precise:
             return self.detect_precise(orig_img)
         return self._detect_fast(orig_img)
+
+
+def _main():
+    """CLI parity with the reference's ``__main__``
+    (``pose_detector.py:555-579``):
+    ``python -m tpupose.detectors.pose posenet <npz> --img x.png [--precise]``
+    """
+    import argparse
+
+    import cv2
+
+    from tpupose.detectors.draw import draw_person_pose
+
+    p = argparse.ArgumentParser(description="Pose detector")
+    p.add_argument("arch", choices=("posenet",))
+    p.add_argument("weights", help="weights file path (.npz)")
+    p.add_argument("--img", "-i", required=True, help="image file path")
+    p.add_argument("--precise", action="store_true",
+                   help="multi-scale precise inference")
+    p.add_argument("--out", default="result.png")
+    args = p.parse_args()
+
+    detector = PoseDetector(args.arch, weights_file=args.weights,
+                            precise=args.precise)
+    img = cv2.imread(args.img)
+    poses, _ = detector(img)
+    print(f"{len(poses)} people")
+    print(f"Saving result into {args.out}...")
+    cv2.imwrite(args.out, draw_person_pose(img, poses))
+
+
+if __name__ == "__main__":
+    _main()

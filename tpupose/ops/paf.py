@@ -100,21 +100,18 @@ def greedy_match(score: jnp.ndarray, valid: jnp.ndarray, n_a, n_b):
     acceptances.  Returns (a_slot, b_slot, out_score, out_valid): (K,).
 
     Accepting in sorted order while skipping used endpoints is equivalent
-    to repeatedly taking the FIRST still-free candidate of the sorted
-    list, so instead of a K^2-step sequential scan this runs a
-    ``while_loop`` of (acceptances + 1) iterations whose body is one
-    vectorized free-candidate reduction — the sequential depth drops from
-    K^2 (=1024 at K=32) to the number of people, which is what made the
-    on-device postprocess latency-bound.
+    to repeatedly taking the highest-scoring still-free candidate, so
+    instead of a K^2-step sequential scan this runs a ``while_loop`` of
+    (acceptances + 1) iterations whose body is one vectorized masked
+    argmax — no sort at all, and the sequential depth drops from K^2
+    (=1024 at K=32) to the number of people.  ``jnp.argmax`` returns the
+    FIRST maximum in row-major (a-major, then b) order — exactly the
+    reference's stable tie-break (Python ``sorted`` over the nested-loop
+    enumeration at ``:137-138,158``).
     """
     k = score.shape[0]
     flat_valid = valid.reshape(-1)
     flat_score = jnp.where(flat_valid, score.reshape(-1), -jnp.inf)
-    order = jnp.argsort(-flat_score, stable=True)      # (K*K,)
-    sorted_a = order // k                              # (K*K,)
-    sorted_b = order % k
-    sorted_valid = flat_valid[order]
-    sorted_score = flat_score[order]
     max_conn = jnp.minimum(n_a, n_b).astype(jnp.int32)
 
     def cond(state):
@@ -123,10 +120,12 @@ def greedy_match(score: jnp.ndarray, valid: jnp.ndarray, n_a, n_b):
 
     def body(state):
         used_a, used_b, n_taken, out_a, out_b, out_s, _ = state
-        free = sorted_valid & ~used_a[sorted_a] & ~used_b[sorted_b]
-        pos = jnp.argmax(free)          # first free in sorted order
-        take = free[pos]
-        a, b, s = sorted_a[pos], sorted_b[pos], sorted_score[pos]
+        free_score = jnp.where(
+            flat_valid & ~used_a.repeat(k) & ~jnp.tile(used_b, k),
+            flat_score, -jnp.inf)
+        pos = jnp.argmax(free_score)    # first max = a-major tie-break
+        take = jnp.isfinite(free_score[pos])
+        a, b, s = pos // k, pos % k, flat_score[pos]
         used_a = used_a.at[a].set(used_a[a] | take)
         used_b = used_b.at[b].set(used_b[b] | take)
         out_a = jnp.where(take, out_a.at[n_taken].set(a), out_a)

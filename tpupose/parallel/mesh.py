@@ -28,6 +28,28 @@ DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` passthrough.
+
+    On a multi-host TPU pod slice, call this once per host before building
+    meshes; JAX then exposes all chips of the slice in ``jax.devices()``
+    and the (data, spatial) mesh spans hosts, with gradient psums riding
+    ICI within the slice and DCN across slices.  No-ops cleanly in
+    single-process settings (TPU pods auto-detect via the metadata
+    server, so all arguments may be None).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a (data, spatial) mesh over ``devices`` (default: all)."""
