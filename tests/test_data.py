@@ -218,3 +218,44 @@ class TestTrainCLI:
         with open(os.path.join(out, "log")) as f:
             log = json.load(f)
         assert any("main/loss" in e for e in log)
+
+
+class TestDataViz:
+    def test_render_panel_and_cli(self, mini_coco, tmp_path):
+        from tpupose.apps import data_viz
+
+        coco_root = tmp_path / "coco"
+        (coco_root / "annotations").mkdir(parents=True)
+        os.symlink(mini_coco["ann"],
+                   coco_root / "annotations" /
+                   "person_keypoints_train2017.json")
+        os.symlink(mini_coco["img_dir"], coco_root / "train2017")
+        out = str(tmp_path / "viz")
+        data_viz.main(["--coco_dir", str(coco_root), "--out", out,
+                       "--n", "2", "--insize", "64"])
+        assert os.path.exists(os.path.join(out, "sample_0.png"))
+        panel = CV2.imread(os.path.join(out, "sample_0.png"))
+        assert panel.shape == (64, 128, 3)  # raw | overlay side-by-side
+
+
+class TestLoaderFaultTolerance:
+    def test_bad_sample_skipped(self, mini_coco):
+        cfg = TrainConfig(insize=64)
+        ds = CocoPoseDataset(mini_coco["ann"], mini_coco["img_dir"],
+                             mode="val", cfg=cfg)
+        calls = {"n": 0}
+        orig = ds.sample
+
+        def flaky(i):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("corrupt image")
+            return orig(i)
+
+        ds.sample = flaky
+        loader = BatchLoader(ds, batch_size=2, max_persons=2,
+                             shuffle=False, repeat=False)
+        batches = list(loader)
+        # 3 samples, 1 bad -> 1 full batch of 2 good samples
+        assert len(batches) == 1
+        assert batches[0].imgs.shape[0] == 2

@@ -109,9 +109,10 @@ class CocoPoseDataset:
 
         if self.mask_dir:
             path = os.path.join(self.mask_dir, f"{img_id:012d}.png")
-            mask = cv2.imread(path, 0)
-            if mask is not None:
-                return mask == 255
+            if os.path.exists(path):
+                mask = cv2.imread(path, 0)
+                if mask is not None:
+                    return mask == 255
         return np.zeros(shape, bool)
 
     # ------------------------------------------------------------------

@@ -29,7 +29,27 @@ def _worker_init(dataset):
 
 
 def _worker_sample(index: int):
-    return _WORKER_DATASET.sample(index)
+    """Load one sample; failures (corrupt image, bad annotation) degrade to
+    None so one bad record can't kill the whole training run — the feeder
+    skips it and the loader keeps streaming (the reference's closest
+    analogue is its resample-on-missing-annotations loop,
+    ``coco_data_loader.py:351-353``)."""
+    try:
+        return _WORKER_DATASET.sample(index)
+    except Exception as e:  # noqa: BLE001 - worker must never crash
+        print(f"[loader] sample {index} failed: {type(e).__name__}: {e}",
+              flush=True)
+        return None
+
+
+def _try_sample(dataset, index: int):
+    """Inline-mode counterpart of ``_worker_sample``'s fault tolerance."""
+    try:
+        return dataset.sample(index)
+    except Exception as e:  # noqa: BLE001
+        print(f"[loader] sample {index} failed: {type(e).__name__}: {e}",
+              flush=True)
+        return None
 
 
 class BatchLoader:
@@ -86,11 +106,14 @@ class BatchLoader:
     def _sample_stream(self):
         idx = self._index_stream()
         if self._pool is not None:
-            yield from self._pool.imap(_worker_sample, idx,
-                                       chunksize=1)
+            for s in self._pool.imap(_worker_sample, idx, chunksize=1):
+                if s is not None:
+                    yield s
         else:
             for i in idx:
-                yield self.dataset.sample(i)
+                s = _try_sample(self.dataset, i)
+                if s is not None:
+                    yield s
 
     def __iter__(self) -> Iterator[TrainBatch]:
         out: queue.Queue = queue.Queue(maxsize=self.prefetch)
