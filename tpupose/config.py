@@ -206,6 +206,11 @@ class TrainConfig:
     snapshot_interval: int = 1000
     log_interval: int = 20
 
+    # Rematerialization: recompute forward activations during backprop
+    # (``jax.checkpoint``) to trade FLOPs for HBM — enables much larger
+    # batch/resolution than the reference's batch-10 @368 on one chip.
+    remat: bool = False
+
 
 @dataclasses.dataclass(frozen=True)
 class FaceConfig:

@@ -18,8 +18,6 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from tpupose.train.trainer import TrainBatch, pad_poses
-
 _WORKER_DATASET = None
 
 
@@ -90,7 +88,11 @@ class BatchLoader:
             if not self.repeat:
                 return
 
-    def _assemble(self, samples) -> TrainBatch:
+    def _assemble(self, samples):
+        # local import: tpupose.train.trainer imports tpupose.data.gt,
+        # so a module-level import here would be circular
+        from tpupose.train.trainer import TrainBatch, pad_poses
+
         imgs = np.stack([s[0] for s in samples])
         poses = pad_poses([s[1] for s in samples], self.max_persons)
         masks = np.stack([s[2] for s in samples])

@@ -92,7 +92,17 @@ def _render_batch_labels(batch: TrainBatch, cfg: TrainConfig):
 
 def loss_for_batch(model, params, batch: TrainBatch, cfg: TrainConfig):
     x = preprocess_imgs(batch.imgs)
-    pafs_ys, heatmaps_ys = model.apply({"params": params}, x)
+
+    def forward(params, x):
+        return model.apply({"params": params}, x)
+
+    if cfg.remat:
+        # Recompute activations in the backward pass (jax.checkpoint):
+        # HBM for the ~100-conv graph drops from O(all activations) to
+        # O(one stage), letting batch/resolution scale well past the
+        # reference's batch 10 @ 368 on a single chip.
+        forward = jax.checkpoint(forward)
+    pafs_ys, heatmaps_ys = forward(params, x)
     pafs_t, heatmaps_t = _render_batch_labels(batch, cfg)
     return compute_loss(pafs_ys, heatmaps_ys, pafs_t, heatmaps_t,
                         batch.ignore_mask)
