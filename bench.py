@@ -41,8 +41,6 @@ def load_test_image() -> np.ndarray:
 
 
 def main() -> None:
-    import jax
-
     from tpupose.detectors import PoseDetector
 
     img = load_test_image()

@@ -31,3 +31,22 @@ from tpupose.config import (
 )
 
 __version__ = "0.1.0"
+
+# Lazy top-level conveniences (the detectors pull in cv2/flax; keep bare
+# ``import tpupose`` light for config-only users).
+_LAZY = {
+    "PoseDetector": "tpupose.detectors",
+    "FaceDetector": "tpupose.detectors",
+    "HandDetector": "tpupose.detectors",
+    "CocoPoseNet": "tpupose.models",
+    "FaceNet": "tpupose.models",
+    "HandNet": "tpupose.models",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module 'tpupose' has no attribute {name!r}")

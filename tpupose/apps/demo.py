@@ -20,7 +20,6 @@ import argparse
 def run_cascade(img, pose_detector, face_detector, hand_detector):
     """Full cascade on one BGR image; returns (result_img, results dict)."""
     import cv2
-    import numpy as np
 
     from tpupose.detectors import (
         crop_face, crop_hands, draw_face_keypoints, draw_hand_keypoints,

@@ -56,7 +56,7 @@ def main(argv=None):
     from tpupose.models import ARCHS
     from tpupose.parallel import make_mesh
     from tpupose.train import (
-        TrainBatch, init_train_state, make_eval_step, make_train_step)
+        init_train_state, make_eval_step, make_train_step)
     from tpupose.train.checkpoint import (
         export_model_npz, latest_checkpoint, restore_checkpoint,
         save_checkpoint)

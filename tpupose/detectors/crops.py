@@ -12,7 +12,7 @@ call.  Here the same algorithm is implemented correctly.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

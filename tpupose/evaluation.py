@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from tpupose.config import COCO_JOINT_ORDER, JointType
+from tpupose.config import COCO_JOINT_ORDER
 
 # Official COCO keypoint sigmas (person, 17 kpts).
 KPT_SIGMAS = np.array([

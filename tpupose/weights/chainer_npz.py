@@ -17,7 +17,7 @@ map whatever keys exist and report what was missed).
 from __future__ import annotations
 
 import re
-from typing import Dict, Mapping, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
