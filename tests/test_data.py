@@ -259,3 +259,20 @@ class TestLoaderFaultTolerance:
         # 3 samples, 1 bad -> 1 full batch of 2 good samples
         assert len(batches) == 1
         assert batches[0].imgs.shape[0] == 2
+
+
+class TestMultiprocessLoader:
+    def test_spawn_worker_pool(self, mini_coco):
+        """MultiprocessIterator-parity path: spawn pool workers decode and
+        augment; batches arrive assembled."""
+        cfg = TrainConfig(insize=64)
+        ds = CocoPoseDataset(mini_coco["ann"], mini_coco["img_dir"],
+                             mode="val", cfg=cfg)
+        loader = BatchLoader(ds, batch_size=2, max_persons=2,
+                             shuffle=False, repeat=False, num_workers=1)
+        try:
+            batches = list(loader)
+        finally:
+            loader.close()
+        assert len(batches) == 2
+        assert batches[0].imgs.shape == (2, 64, 64, 3)

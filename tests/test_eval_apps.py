@@ -216,3 +216,39 @@ class TestCameraApp:
         n = int(cap.get(CV2.CAP_PROP_FRAME_COUNT))
         cap.release()
         assert n >= 3
+
+
+class TestBatchedCrops:
+    def test_face_batch_matches_single(self):
+        from tpupose.detectors import FaceDetector
+
+        det = FaceDetector("facenet", cfg=FaceConfig(img_size=64))
+        rng = np.random.RandomState(5)
+        crops = [rng.randint(0, 255, (40 + 8 * i, 36 + 4 * i, 3),
+                             dtype=np.uint8) for i in range(3)]
+        batched = det.detect_batch(crops)
+        for crop, got in zip(crops, batched):
+            single = det(crop)
+            assert got == single
+
+    def test_hand_batch_matches_single_with_flip(self):
+        from tpupose.detectors import HandDetector
+
+        det = HandDetector("handnet", cfg=HandConfig(img_size=64))
+        rng = np.random.RandomState(6)
+        crops = [rng.randint(0, 255, (44, 52, 3), dtype=np.uint8)
+                 for _ in range(2)]
+        sides = ["left", "right"]
+        batched = det.detect_batch(crops, sides)
+        for crop, side, got in zip(crops, sides, batched):
+            single = det(crop, hand_type=side)
+            assert got == single
+
+    def test_empty_batches(self):
+        from tpupose.detectors import FaceDetector, HandDetector
+
+        assert FaceDetector(
+            "facenet", cfg=FaceConfig(img_size=64)).detect_batch([]) == []
+        assert HandDetector(
+            "handnet",
+            cfg=HandConfig(img_size=64)).detect_batch([], []) == []

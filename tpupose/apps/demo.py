@@ -29,30 +29,40 @@ def run_cascade(img, pose_detector, face_detector, hand_detector):
     res_img = cv2.addWeighted(img, 0.6, draw_person_pose(img, poses), 0.4, 0)
     results = {"poses": poses, "scores": scores, "faces": [], "hands": []}
 
+    # Collect every person's crops first, then run ONE batched forward per
+    # net (the reference invokes FaceNet/HandNet serially per person,
+    # ``demo.py:31-58`` — up to 1+3N forward passes for N people).
+    face_crops, face_bboxes = [], []
+    hand_crops, hand_sides, hand_bboxes = [], [], []
     for person_pose in poses:
         unit_length = get_unit_length(person_pose)
-
         cropped_face, bbox = crop_face(img, person_pose, unit_length)
         if cropped_face is not None:
-            face_keypoints = face_detector(cropped_face)
-            results["faces"].append((face_keypoints, bbox))
-            res_img = draw_face_keypoints(res_img, face_keypoints,
-                                          (bbox[0], bbox[1]))
-            cv2.rectangle(res_img, (bbox[0], bbox[1]), (bbox[2], bbox[3]),
-                          (255, 255, 255), 1)
-
+            face_crops.append(cropped_face)
+            face_bboxes.append(bbox)
         hands = crop_hands(img, person_pose, unit_length)
         for side in ("left", "right"):
-            if hands[side] is None:
-                continue
-            hand_keypoints = hand_detector(hands[side]["img"],
-                                           hand_type=side)
-            bbox = hands[side]["bbox"]
-            results["hands"].append((side, hand_keypoints, bbox))
-            res_img = draw_hand_keypoints(res_img, hand_keypoints,
-                                          (bbox[0], bbox[1]))
-            cv2.rectangle(res_img, (bbox[0], bbox[1]), (bbox[2], bbox[3]),
-                          (255, 255, 255), 1)
+            if hands[side] is not None:
+                hand_crops.append(hands[side]["img"])
+                hand_sides.append(side)
+                hand_bboxes.append(hands[side]["bbox"])
+
+    for face_keypoints, bbox in zip(face_detector.detect_batch(face_crops),
+                                    face_bboxes):
+        results["faces"].append((face_keypoints, bbox))
+        res_img = draw_face_keypoints(res_img, face_keypoints,
+                                      (bbox[0], bbox[1]))
+        cv2.rectangle(res_img, (bbox[0], bbox[1]), (bbox[2], bbox[3]),
+                      (255, 255, 255), 1)
+
+    for hand_keypoints, side, bbox in zip(
+            hand_detector.detect_batch(hand_crops, hand_sides),
+            hand_sides, hand_bboxes):
+        results["hands"].append((side, hand_keypoints, bbox))
+        res_img = draw_hand_keypoints(res_img, hand_keypoints,
+                                      (bbox[0], bbox[1]))
+        cv2.rectangle(res_img, (bbox[0], bbox[1]), (bbox[2], bbox[3]),
+                      (255, 255, 255), 1)
     return res_img, results
 
 

@@ -66,12 +66,65 @@ class FaceDetector:
         resized = cv2.resize(face_img, (self.cfg.img_size, self.cfg.img_size))
         xs, ys, score, valid = self._fn((h, w))(
             self.variables, jnp.asarray(resized))
+        return self._to_keypoints(xs, ys, score, valid)
+
+    @staticmethod
+    def _to_keypoints(xs, ys, score, valid):
         xs, ys = np.asarray(xs), np.asarray(ys)
         score, valid = np.asarray(score), np.asarray(valid)
         return [
             [int(xs[i]), int(ys[i]), float(score[i])] if valid[i] else None
             for i in range(len(xs))
         ]
+
+    # -- batched crops (new: the reference runs crops serially per person,
+    #    ``demo.py:31-49``) ------------------------------------------------
+
+    def _batch_forward_fn(self, batch: int):
+        key = ("batch", batch)
+        if key not in self._fns:
+            model = self.model
+
+            def fn(variables, imgs_u8):
+                x = imgs_u8.astype(jnp.float32) / 256.0 - 0.5
+                heatmaps = model.apply(variables, x)
+                return heatmaps[-1]            # (B, h, w, C)
+
+            self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    def _tail_fn(self, crop_hw):
+        key = ("tail", crop_hw)
+        if key not in self._fns:
+            cfg = self.cfg
+
+            def fn(hm):
+                hm = resize_chainer(hm, crop_hw)
+                hm = jnp.transpose(hm, (2, 0, 1))
+                return global_argmax_keypoints(
+                    hm[:-1], cfg.gaussian_sigma, cfg.heatmap_peak_thresh)
+
+            self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    def detect_batch(self, face_imgs):
+        """All persons' face crops through ONE batched forward; per-crop
+        resize+argmax tails stay jitted per geometry.  Returns a list of
+        per-crop keypoint lists."""
+        import cv2
+
+        if not face_imgs:
+            return []
+        resized = np.stack([
+            cv2.resize(img, (self.cfg.img_size, self.cfg.img_size))
+            for img in face_imgs])
+        heatmaps = self._batch_forward_fn(len(face_imgs))(
+            self.variables, jnp.asarray(resized))
+        out = []
+        for i, img in enumerate(face_imgs):
+            tail = self._tail_fn(img.shape[:2])
+            out.append(self._to_keypoints(*tail(heatmaps[i])))
+        return out
 
 
 def _main():

@@ -69,12 +69,69 @@ class HandDetector:
         resized = cv2.resize(hand_img, (self.cfg.img_size, self.cfg.img_size))
         xs, ys, score, valid = self._fn((h, w), flip)(
             self.variables, jnp.asarray(resized))
+        return self._to_keypoints(xs, ys, score, valid)
+
+    @staticmethod
+    def _to_keypoints(xs, ys, score, valid):
         xs, ys = np.asarray(xs), np.asarray(ys)
         score, valid = np.asarray(score), np.asarray(valid)
         return [
             [int(xs[i]), int(ys[i]), float(score[i])] if valid[i] else None
             for i in range(len(xs))
         ]
+
+    # -- batched crops (new: the reference runs crops serially per person,
+    #    ``demo.py:44-58``) ------------------------------------------------
+
+    def _batch_forward_fn(self, batch: int):
+        key = ("batch", batch)
+        if key not in self._fns:
+            model = self.model
+
+            def fn(variables, imgs_u8):
+                x = imgs_u8.astype(jnp.float32) / 256.0 - 0.5
+                heatmaps = model.apply(variables, x)
+                return heatmaps[-1]            # (B, h, w, C)
+
+            self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    def _tail_fn(self, crop_hw, flip: bool):
+        key = ("tail", crop_hw, flip)
+        if key not in self._fns:
+            cfg = self.cfg
+
+            def fn(hm):
+                hm = resize_chainer(hm, crop_hw)
+                if flip:
+                    hm = hm[:, ::-1, :]
+                hm = jnp.transpose(hm, (2, 0, 1))
+                return global_argmax_keypoints(
+                    hm[:-1], cfg.gaussian_sigma, cfg.heatmap_peak_thresh)
+
+            self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    def detect_batch(self, hand_imgs, hand_types):
+        """All hand crops through ONE batched forward (left hands flipped
+        on input, heatmaps un-flipped in the per-crop tail)."""
+        import cv2
+
+        if not hand_imgs:
+            return []
+        prepped = []
+        for img, hand_type in zip(hand_imgs, hand_types):
+            if hand_type == "left":
+                img = cv2.flip(img, 1)
+            prepped.append(
+                cv2.resize(img, (self.cfg.img_size, self.cfg.img_size)))
+        heatmaps = self._batch_forward_fn(len(prepped))(
+            self.variables, jnp.asarray(np.stack(prepped)))
+        out = []
+        for i, (img, hand_type) in enumerate(zip(hand_imgs, hand_types)):
+            tail = self._tail_fn(img.shape[:2], hand_type == "left")
+            out.append(self._to_keypoints(*tail(heatmaps[i])))
+        return out
 
 
 def _main():
