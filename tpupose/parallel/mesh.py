@@ -81,15 +81,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
+# Arrays whose axis 1 is image height (sharded over 'spatial' too);
+# everything else shards on the batch axis only.
+_SPATIAL_KEYS = frozenset({"imgs", "ignore_mask"})
+
+
+def shard_batch(batch, mesh: Mesh, spatial_keys=_SPATIAL_KEYS):
     """Place a host batch dict onto the mesh with the right shardings.
 
-    Arrays with >= 3 dims are treated as (B, H, ...) image-likes and sharded
-    (data, spatial); 1/2-dim arrays shard on data only.
+    Keys in ``spatial_keys`` are (B, H, ...) image-likes sharded
+    (data, spatial); all other arrays shard on the batch axis only (e.g.
+    the (B, P, 18, 3) pose tables, whose axis 1 is persons, not height).
     """
-    def put(x):
-        if x.ndim >= 3:
+    def put(key, x):
+        if key in spatial_keys and x.ndim >= 3:
             return jax.device_put(x, batch_sharding(mesh))
         return jax.device_put(x, data_only_sharding(mesh))
 
-    return jax.tree_util.tree_map(put, batch)
+    return {k: put(k, v) for k, v in batch.items()}
