@@ -1,0 +1,97 @@
+"""Observability utilities: stage timers, train logger, log plotting."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpupose.utils.profiling import StageTimer
+from tpupose.utils.reporting import TrainLogger, dump_run_params
+
+
+class TestStageTimer:
+    def test_accumulates_and_reports(self):
+        t = StageTimer()
+        for _ in range(3):
+            with t.stage("fwd") as out:
+                out["result"] = jnp.ones((8, 8)) * 2
+        with t.stage("post"):
+            pass
+        s = t.summary()
+        assert s["fwd"]["count"] == 3
+        assert s["post"]["count"] == 1
+        assert s["fwd"]["total_s"] > 0
+        report = t.report()
+        assert "fwd" in report and "post" in report
+
+
+class TestTrainLogger:
+    def test_json_log_format(self, tmp_path):
+        out = str(tmp_path)
+        logger = TrainLogger(out, log_interval=2)
+        for i in range(1, 5):
+            logger.observe(i, {"main/loss": float(i)})
+        with open(os.path.join(out, "log")) as f:
+            entries = json.load(f)
+        assert len(entries) == 2
+        assert entries[0]["iteration"] == 2
+        # window mean of iterations 1,2
+        assert entries[0]["main/loss"] == 1.5
+        assert "elapsed_time" in entries[0]
+
+    def test_dump_run_params(self, tmp_path):
+        dump_run_params(str(tmp_path), {"arch": "posenet"})
+        with open(os.path.join(str(tmp_path), "params.json")) as f:
+            assert json.load(f)["arch"] == "posenet"
+        stamps = [f for f in os.listdir(str(tmp_path))
+                  if f.startswith("@")]
+        assert len(stamps) == 1
+
+
+class TestPlotLog:
+    def test_plot_cli(self, tmp_path):
+        from tpupose.apps import plot_log
+
+        entries = [{"iteration": i, "epoch": 0, "main/loss": 1.0 / i,
+                    "elapsed_time": i} for i in range(1, 6)]
+        entries[-1]["val/loss"] = 0.5
+        with open(os.path.join(str(tmp_path), "log"), "w") as f:
+            json.dump(entries, f)
+        plot_log.main([str(tmp_path)])
+        assert os.path.exists(os.path.join(str(tmp_path),
+                                           "loss_history.png"))
+
+
+class TestGenMasksVis:
+    def test_vis_panels_written(self, tmp_path):
+        import pytest
+
+        cv2 = pytest.importorskip("cv2")
+        from tpupose.data import generate_ignore_masks
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.RandomState(0)
+        cv2.imwrite(str(img_dir / "000000000001.jpg"),
+                    rng.randint(0, 255, (60, 80, 3), dtype=np.uint8))
+        ann = {
+            "images": [{"id": 1, "file_name": "000000000001.jpg",
+                        "height": 60, "width": 80}],
+            "annotations": [{
+                "id": 1, "image_id": 1, "category_id": 1,
+                "keypoints": [10, 10, 2] + [0] * 48, "num_keypoints": 1,
+                "area": 100.0, "iscrowd": 0,
+                "segmentation": [[5, 5, 30, 5, 30, 30, 5, 30]],
+            }],
+            "categories": [{"id": 1, "name": "person"}],
+        }
+        ann_file = str(tmp_path / "ann.json")
+        with open(ann_file, "w") as f:
+            json.dump(ann, f)
+        out = str(tmp_path / "masks")
+        vis = str(tmp_path / "vis")
+        n = generate_ignore_masks(ann_file, str(img_dir), out, vis_dir=vis)
+        assert n == 1
+        panel = cv2.imread(os.path.join(vis, "000000000001.png"))
+        assert panel is not None and panel.shape == (60, 160, 3)

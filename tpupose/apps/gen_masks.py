@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--splits", nargs="+", default=["train", "val"])
     p.add_argument("--limit", type=int, default=None,
                    help="only the first N images (debugging)")
+    p.add_argument("--vis", action="store_true",
+                   help="also write mask+keypoint overlay panels "
+                        "(ref gen_ignore_mask.py --vis)")
     args = p.parse_args(argv)
 
     for split in args.splits:
@@ -34,7 +37,8 @@ def main(argv=None):
         print(f"{split}: generating masks into {out_dir} ...")
         n = generate_ignore_masks(
             ann, os.path.join(args.coco_dir, f"{split}2017"), out_dir,
-            limit=args.limit)
+            limit=args.limit,
+            vis_dir=(out_dir + "_vis" if args.vis else None))
         print(f"{split}: wrote {n} masks")
 
 

@@ -154,9 +154,31 @@ class CocoPoseDataset:
         return img, self.coco.annotations(img_id), img_id
 
 
+def visualize_ignore_mask(img: np.ndarray, mask_miss: np.ndarray,
+                          annotations: List[dict]) -> np.ndarray:
+    """Debug overlay: ignored regions tinted red, keypoints drawn
+    (the ``--vis`` mode of ``gen_ignore_mask.py:48-71,103-111``)."""
+    import cv2
+
+    out = img.copy()
+    tint = np.zeros_like(out)
+    tint[..., 2] = 255
+    m = mask_miss.astype(bool)
+    out[m] = (0.3 * out[m] + 0.7 * tint[m]).astype(np.uint8)
+    for ann in annotations:
+        for x, y, v in np.asarray(ann.get("keypoints", []),
+                                  np.int32).reshape(-1, 3):
+            if v == 1:
+                cv2.circle(out, (int(x), int(y)), 3, (255, 255, 0), -1)
+            elif v == 2:
+                cv2.circle(out, (int(x), int(y)), 3, (255, 0, 255), -1)
+    return np.hstack([img, out])
+
+
 def generate_ignore_masks(ann_file: str, img_dir: str, out_dir: str,
                           cfg: TrainConfig = TrainConfig(),
-                          limit: Optional[int] = None) -> int:
+                          limit: Optional[int] = None,
+                          vis_dir: Optional[str] = None) -> int:
     """Offline ignore-mask generation (ref ``gen_ignore_mask.py:23-37,
     86-116``): for every image, union the masks of crowd regions and of
     under-annotated persons; write ``<out_dir>/<id>.png`` when non-empty.
@@ -192,4 +214,16 @@ def generate_ignore_masks(ann_file: str, img_dir: str, out_dir: str,
             cv2.imwrite(os.path.join(out_dir, f"{img_id:012d}.png"),
                         mask_miss.astype(np.uint8) * 255)
             written += 1
+            if vis_dir:
+                os.makedirs(vis_dir, exist_ok=True)
+                try:
+                    img = cv2.imread(os.path.join(
+                        img_dir, coco.image_info(img_id)["file_name"]))
+                    if img is not None:
+                        panel = visualize_ignore_mask(
+                            img, mask_miss, coco.annotations(img_id))
+                        cv2.imwrite(os.path.join(
+                            vis_dir, f"{img_id:012d}.png"), panel)
+                except Exception:
+                    pass  # visualization must never block generation
     return written
