@@ -159,3 +159,33 @@ class TestBatchedDetect:
         cap = CV2.VideoCapture(out)
         assert int(cap.get(CV2.CAP_PROP_FRAME_COUNT)) == 6
         cap.release()
+
+
+class TestMeshedBatchDetect:
+    def test_mesh_batch_matches_unsharded(self):
+        import jax
+        import pytest
+
+        from tpupose.parallel import make_mesh
+        from test_eval_apps import _StubModel, _render_scene
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 virtual devices")
+        from tpupose.detectors import PoseDetector
+
+        rng = np.random.RandomState(7)
+        pafs, heatmaps = _render_scene(rng, n_people=2, hw=(46, 62))
+        mesh = make_mesh(n_data=4, n_spatial=1)
+        det_m = PoseDetector("posenet", params={"params": {}},
+                             cfg=SMALL_CFG, mesh=mesh)
+        det_m.model = _StubModel(pafs, heatmaps)
+        det_1 = PoseDetector("posenet", params={"params": {}},
+                             cfg=SMALL_CFG)
+        det_1.model = _StubModel(pafs, heatmaps)
+
+        imgs = rng.randint(0, 255, (4, 92, 124, 3), dtype=np.uint8)
+        res_m = det_m.detect_batch(imgs)
+        res_1 = det_1.detect_batch(imgs)
+        for (pm, sm), (p1, s1) in zip(res_m, res_1):
+            np.testing.assert_array_equal(pm, p1)
+            np.testing.assert_allclose(sm, s1, rtol=1e-5)

@@ -30,6 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--val_samples", type=int, default=100)
     p.add_argument("--iteration", "-i", type=int, default=300000)
     p.add_argument("--initmodel", help="warm-start weights (.npz)")
+    p.add_argument("--vgg", help="warm-start the VGG-19 stem from a Caffe "
+                   "VGG release (.caffemodel; copy_vgg_params parity)")
     p.add_argument("--loaderjob", "-j", type=int, default=0,
                    help="number of data-loading worker processes")
     p.add_argument("--resume", "-r", default="",
@@ -78,6 +80,15 @@ def main(argv=None):
         print("Load model from", args.initmodel)
         variables, _ = params_from_npz_auto(args.initmodel, model)
         params = variables["params"]
+    elif args.vgg and args.arch == "posenet":
+        from tpupose.weights.caffe import init_stem_from_caffe_vgg
+
+        print("Warm-starting VGG stem from", args.vgg)
+        import jax.random as jrandom
+
+        dummy = jnp.zeros((1, cfg.insize, cfg.insize, 3), jnp.float32)
+        variables = model.init(jrandom.PRNGKey(0), dummy)
+        params = init_stem_from_caffe_vgg(variables["params"], args.vgg)
     state, tx = init_train_state(model, cfg, arch=args.arch, params=params)
 
     n_data = args.n_data

@@ -67,10 +67,17 @@ class PoseDetector:
                  params=None,
                  precise: bool = False,
                  cfg: InferenceConfig = INFERENCE,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — ``detect_batch``
+        then shards frames over the mesh's ``data`` axis (params
+        replicated), scaling serving throughput across chips; the
+        reference has no multi-device execution at all (SURVEY.md
+        section 2)."""
         self.arch = arch
         self.precise = precise
         self.cfg = cfg
+        self.mesh = mesh
         self.model = ARCHS[arch](dtype=compute_dtype)
         if params is not None:
             self.variables = params if "params" in params else {
@@ -164,7 +171,17 @@ class PoseDetector:
 
                 return jax.vmap(per_frame)(paf, hm)
 
-            self._fast_fns[key] = jax.jit(fn)
+            if self.mesh is not None:
+                from tpupose.parallel import (
+                    data_only_sharding, replicated)
+
+                self._fast_fns[key] = jax.jit(
+                    fn,
+                    in_shardings=(replicated(self.mesh),
+                                  data_only_sharding(self.mesh)),
+                    out_shardings=replicated(self.mesh))
+            else:
+                self._fast_fns[key] = jax.jit(fn)
         return self._fast_fns[key]
 
     def detect_batch(self, imgs: np.ndarray):
