@@ -189,3 +189,25 @@ class TestMeshedBatchDetect:
         for (pm, sm), (p1, s1) in zip(res_m, res_1):
             np.testing.assert_array_equal(pm, p1)
             np.testing.assert_allclose(sm, s1, rtol=1e-5)
+
+
+class TestPostprocessCap:
+    def test_capped_precise_close_to_exact(self):
+        import dataclasses
+
+        from test_eval_apps import _stub_pose_detector
+
+        img = np.random.RandomState(8).randint(
+            0, 255, (184, 248, 3), dtype=np.uint8)
+        det_exact = _stub_pose_detector(precise=True)
+        det_exact.cfg = SMALL_CFG
+        det_cap = _stub_pose_detector(precise=True)
+        det_cap.cfg = dataclasses.replace(SMALL_CFG,
+                                          max_postprocess_len=124)
+        poses_e, _ = det_exact(img)
+        poses_c, _ = det_cap(img)
+        assert len(poses_e) == len(poses_c)
+        # same people, coordinates within the cap's resolution step
+        pe = np.sort(poses_e[:, :, :2].reshape(-1))
+        pc = np.sort(poses_c[:, :, :2].reshape(-1))
+        np.testing.assert_allclose(pc, pe, atol=4.0)

@@ -160,6 +160,13 @@ class InferenceConfig:
     # host cv2.INTER_CUBIC pyramid as the reference (``pose_detector.py:
     # 441-445``), uploading every scale.
     device_pyramid: bool = True
+    # Serving knob (0 = off = exact reference semantics): cap the
+    # precise-mode postprocess resolution so cross-scale averaging and
+    # peak finding run at <= this long-side length instead of the
+    # original image resolution (``pose_detector.py:461-478`` averages
+    # and finds peaks at FULL original resolution — expensive for large
+    # frames, with marginal accuracy benefit past ~1x network scale).
+    max_postprocess_len: int = 0
     # Mean RGB padding value used by precise-mode ``pad_image``
     # (ref ``pose_detector.py:445``).
     pad_value: Tuple[int, int, int] = (104, 117, 123)

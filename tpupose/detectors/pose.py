@@ -313,6 +313,15 @@ class PoseDetector:
         import math
 
         orig_h, orig_w = orig_img.shape[:2]
+        # Postprocess resolution: original (reference parity) or capped
+        # (cfg.max_postprocess_len serving knob); poses rescale at emit.
+        cap = self.cfg.max_postprocess_len
+        if cap and max(orig_h, orig_w) > cap:
+            s = cap / max(orig_h, orig_w)
+            post_hw = (max(1, round(orig_h * s)), max(1, round(orig_w * s)))
+        else:
+            post_hw = (orig_h, orig_w)
+
         paf_list, hm_list = [], []
         orig_dev = (jnp.asarray(orig_img)
                     if self.cfg.device_pyramid else None)
@@ -324,23 +333,22 @@ class PoseDetector:
                 pad_b = (-scaled_hw[0]) % self.cfg.downscale
                 pad_r = (-scaled_hw[1]) % self.cfg.downscale
                 padded_hw = (scaled_hw[0] + pad_b, scaled_hw[1] + pad_r)
-                fn = self._device_scale_fn(
-                    (orig_h, orig_w), scaled_hw, padded_hw)
+                fn = self._device_scale_fn(post_hw, scaled_hw, padded_hw)
                 paf, hm = fn(self.variables, orig_dev)
             else:
                 img = cv2.resize(orig_img, (scaled_hw[1], scaled_hw[0]),
                                  interpolation=cv2.INTER_CUBIC)
                 padded, pad = pad_image_np(
                     img, self.cfg.downscale, self.cfg.pad_value)
-                fn = self._scale_fn(padded.shape[:2], pad,
-                                    (orig_h, orig_w))
+                fn = self._scale_fn(padded.shape[:2], pad, post_hw)
                 paf, hm = fn(self.variables, jnp.asarray(padded))
             paf_list.append(paf)
             hm_list.append(hm)
 
-        fn = self._avg_postprocess_fn((orig_h, orig_w), len(self.cfg.scales))
+        fn = self._avg_postprocess_fn(post_hw, len(self.cfg.scales))
         result = fn(paf_list, hm_list)
-        return self._emit(result, scale_x=1.0, scale_y=1.0)
+        return self._emit(result, scale_x=orig_w / post_hw[1],
+                          scale_y=orig_h / post_hw[0])
 
     # ------------------------------------------------------------------
 
