@@ -187,3 +187,49 @@ def test_full_postprocess_matches_oracle_pipeline():
 
     assert got_poses == ref_poses
     assert int(result.num_peaks) == sum(len(p) for p in ref_peaks)
+
+
+def test_greedy_match_ties_and_stress():
+    """Adversarial stress for the sort-free matcher: many seeds, duplicate
+    scores (tie-break must follow a-major enumeration order), saturated
+    endpoints, and varying candidate counts — vs a direct transcription of
+    the reference's sorted-scan greedy (pose_detector.py:158,172-177)."""
+    from tpupose.ops.paf import greedy_match
+
+    def oracle(score, valid, n_a, n_b):
+        k = score.shape[0]
+        cands = [(score[a, b], a, b)
+                 for a in range(k) for b in range(k) if valid[a, b]]
+        cands.sort(key=lambda c: -c[0])  # stable: a-major preserved
+        used_a, used_b, out = set(), set(), []
+        for s, a, b in cands:
+            if a not in used_a and b not in used_b:
+                out.append((a, b, s))
+                used_a.add(a)
+                used_b.add(b)
+                if len(out) >= min(n_a, n_b):
+                    break
+        return out
+
+    rng = np.random.RandomState(0)
+    for trial in range(30):
+        k = rng.choice([4, 8])
+        # quantized scores force frequent exact ties
+        score = rng.randint(0, 4, (k, k)).astype(np.float32) / 4.0
+        n_a = rng.randint(0, k + 1)
+        n_b = rng.randint(0, k + 1)
+        # valid pairs only exist between actual peaks (as in the real
+        # pipeline, where score_candidates gates by a_valid & b_valid)
+        valid = rng.rand(k, k) < rng.uniform(0.2, 0.9)
+        valid[n_a:, :] = False
+        valid[:, n_b:] = False
+        ref = oracle(score, valid, n_a, n_b)
+
+        a, b, s, v = greedy_match(jnp.asarray(score), jnp.asarray(valid),
+                                  jnp.int32(n_a), jnp.int32(n_b))
+        got = [(int(a[i]), int(b[i]), float(s[i]))
+               for i in range(k) if bool(v[i])]
+        assert len(got) == len(ref), f"trial {trial}: {got} vs {ref}"
+        for (ga, gb, gs), (ra, rb, rs) in zip(got, ref):
+            assert (ga, gb) == (ra, rb), f"trial {trial}: {got} vs {ref}"
+            np.testing.assert_allclose(gs, rs, atol=1e-6)
