@@ -93,10 +93,12 @@ def main(argv=None):
 
     n_data = args.n_data
     if n_data is None:
-        # largest data-parallel degree that divides the batch size
+        # largest data-parallel degree dividing BOTH batch sizes (the
+        # validation loop shards its batches over the same mesh)
         avail = len(jax.devices()) // args.n_spatial
         n_data = max(d for d in range(1, avail + 1)
-                     if args.batchsize % d == 0)
+                     if args.batchsize % d == 0
+                     and args.valbatchsize % d == 0)
     mesh = make_mesh(n_data=n_data, n_spatial=args.n_spatial)
     print(f"mesh: data={n_data} spatial={args.n_spatial} "
           f"(devices: {len(jax.devices())})")

@@ -24,6 +24,13 @@ _WORKER_DATASET = None
 def _worker_init(dataset):
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
+    # Every spawned worker receives a pickled copy of the dataset carrying
+    # the SAME RandomState — reseed per-process or all workers would draw
+    # identical augmentation streams (correlated batches for the whole run).
+    import os
+
+    _WORKER_DATASET._rng = np.random.RandomState(
+        (os.getpid() * 2654435761) % (2 ** 31))
 
 
 def _worker_sample(index: int):
@@ -108,7 +115,29 @@ class BatchLoader:
     def _sample_stream(self):
         idx = self._index_stream()
         if self._pool is not None:
-            for s in self._pool.imap(_worker_sample, idx, chunksize=1):
+            # Windowed dispatch instead of Pool.imap: imap's feeder thread
+            # consumes the (infinite) index stream without backpressure and
+            # buffers every decoded sample, growing host memory without
+            # bound whenever workers outpace the training step.  A bounded
+            # deque of in-flight AsyncResults caps that at window size.
+            import collections
+
+            window = max(2 * self.num_workers,
+                         self.prefetch * self.batch_size)
+            inflight = collections.deque()
+            exhausted = False
+            while True:
+                while not exhausted and len(inflight) < window:
+                    try:
+                        i = next(idx)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    inflight.append(
+                        self._pool.apply_async(_worker_sample, (i,)))
+                if not inflight:
+                    return
+                s = inflight.popleft().get()
                 if s is not None:
                     yield s
         else:
@@ -130,7 +159,15 @@ class BatchLoader:
                         out.put(self._assemble(buf))
                         buf = []
                 if buf and not self.repeat:
-                    out.put(self._assemble(buf))
+                    if self.mesh is not None and (
+                            len(buf) % self.mesh.devices.shape[0] != 0):
+                        # a partial batch that doesn't divide the data
+                        # axis can't be sharded; drop it rather than crash
+                        print(f"[loader] dropping final partial batch of "
+                              f"{len(buf)} (not divisible by data axis)",
+                              flush=True)
+                    else:
+                        out.put(self._assemble(buf))
             finally:
                 out.put(stop)
 

@@ -1,0 +1,145 @@
+"""Shared crop-keypoint engine behind FaceDetector and HandDetector.
+
+The reference implements face and hand inference as two near-identical
+classes (``/root/reference/face_detector.py:12-77`` vs
+``hand_detector.py:12-87`` — same normalize/forward/resize/argmax pipeline,
+differing only in keypoint count and the left-hand flip).  This base class
+holds the one pipeline; the subclasses contribute their config and flip
+policy.
+
+Device path per crop geometry (one jit each): normalize by **/256 - 0.5**
+(the face/hand nets' convention, ``face_detector.py:32`` — note it differs
+from the pose net's /255), forward, Chainer align-corners resize of the
+last-stage heatmaps back to crop size, optional horizontal un-flip,
+Gaussian blur + per-channel global argmax with a confidence threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpupose.models import ARCHS
+from tpupose.ops.peaks import global_argmax_keypoints
+from tpupose.ops.resize import resize_chainer
+from tpupose.weights import params_from_npz_auto
+
+
+class CropKeypointDetector:
+    """Runs a single-branch CPM net on fixed-size crops and extracts one
+    keypoint per channel."""
+
+    def __init__(self, arch: str, cfg,
+                 weights_file: Optional[str] = None,
+                 params=None,
+                 compute_dtype=jnp.float32):
+        self.cfg = cfg
+        self.model = ARCHS[arch](dtype=compute_dtype)
+        if params is not None:
+            self.variables = params if "params" in params else {
+                "params": params}
+        elif weights_file:
+            self.variables, _ = params_from_npz_auto(weights_file, self.model)
+        else:
+            dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3),
+                              jnp.float32)
+            self.variables = self.model.init(jax.random.PRNGKey(0), dummy)
+        self._fns: Dict[tuple, object] = {}
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _to_keypoints(xs, ys, score, valid):
+        """(C,) device outputs -> list of [x, y, conf] or None per channel
+        (the reference's per-keypoint threshold gating)."""
+        xs, ys = np.asarray(xs), np.asarray(ys)
+        score, valid = np.asarray(score), np.asarray(valid)
+        return [
+            [int(xs[i]), int(ys[i]), float(score[i])] if valid[i] else None
+            for i in range(len(xs))
+        ]
+
+    def _tail_fn(self, crop_hw, flip: bool):
+        """Heatmap -> keypoints tail, jitted per crop geometry."""
+        key = ("tail", crop_hw, flip)
+        if key not in self._fns:
+            cfg = self.cfg
+
+            def fn(hm):
+                hm = resize_chainer(hm, crop_hw)
+                if flip:
+                    hm = hm[:, ::-1, :]
+                hm = jnp.transpose(hm, (2, 0, 1))
+                return global_argmax_keypoints(
+                    hm[:-1], cfg.gaussian_sigma, cfg.heatmap_peak_thresh)
+
+            self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    def _single_fn(self, crop_hw, flip: bool):
+        """Fused forward+tail for one crop (single host->device trip)."""
+        key = ("single", crop_hw, flip)
+        if key not in self._fns:
+            model = self.model
+            tail = self._tail_fn(crop_hw, flip)
+
+            def fn(variables, img_u8):
+                x = img_u8.astype(jnp.float32) / 256.0 - 0.5
+                heatmaps = model.apply(variables, x[None])
+                return tail(heatmaps[-1, 0])
+
+            self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    def _batch_forward_fn(self, batch: int):
+        key = ("batch", batch)
+        if key not in self._fns:
+            model = self.model
+
+            def fn(variables, imgs_u8):
+                x = imgs_u8.astype(jnp.float32) / 256.0 - 0.5
+                heatmaps = model.apply(variables, x)
+                return heatmaps[-1]            # (B, h, w, C)
+
+            self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    # ------------------------------------------------------------------
+
+    def detect_crop(self, crop: np.ndarray, flip: bool = False):
+        """One crop -> keypoint list (flip: mirror input, un-mirror the
+        heatmaps on device — the left-hand path)."""
+        import cv2
+
+        if flip:
+            crop = cv2.flip(crop, 1)
+        h, w = crop.shape[:2]
+        resized = cv2.resize(crop, (self.cfg.img_size, self.cfg.img_size))
+        fn = self._single_fn((h, w), flip)
+        return self._to_keypoints(*fn(self.variables, jnp.asarray(resized)))
+
+    def detect_crops(self, crops, flips=None):
+        """All crops through ONE batched forward (the reference runs crops
+        serially per person, ``demo.py:31-58``); per-crop resize+argmax
+        tails stay jitted per geometry."""
+        import cv2
+
+        if not crops:
+            return []
+        flips = flips or [False] * len(crops)
+        prepped = []
+        for crop, flip in zip(crops, flips):
+            if flip:
+                crop = cv2.flip(crop, 1)
+            prepped.append(
+                cv2.resize(crop, (self.cfg.img_size, self.cfg.img_size)))
+        heatmaps = self._batch_forward_fn(len(prepped))(
+            self.variables, jnp.asarray(np.stack(prepped)))
+        out = []
+        for i, (crop, flip) in enumerate(zip(crops, flips)):
+            tail = self._tail_fn(crop.shape[:2], flip)
+            out.append(self._to_keypoints(*tail(heatmaps[i])))
+        return out

@@ -51,6 +51,15 @@ def poses_to_results(poses: np.ndarray, scores: Sequence[float],
     for pose, score in zip(poses, scores):
         kpts = pose18_to_coco17(pose)
         n = max(1, int((pose[:, 2] > 0).sum()))
+        present = kpts[kpts[:, 2] > 0]
+        if len(present):
+            # keypoint-extent bbox area, as pycocotools' loadRes derives
+            # for keypoint results (used by the area-range ignore rule)
+            x0, y0 = present[:, 0].min(), present[:, 1].min()
+            x1, y1 = present[:, 0].max(), present[:, 1].max()
+            area = float((x1 - x0) * (y1 - y0))
+        else:
+            area = 0.0
         results.append({
             "image_id": int(img_id),
             "category_id": 1,
@@ -58,6 +67,7 @@ def poses_to_results(poses: np.ndarray, scores: Sequence[float],
                 float(v) for row in kpts
                 for v in (row[0], row[1], 1 if row[2] > 0 else 0)],
             "score": float(score) / n,
+            "area": area,
         })
     return results
 
@@ -122,6 +132,8 @@ def _evaluate_image(dts: List[dict], gts: List[dict],
         for j, gt in enumerate(gts):
             ious[i, j] = compute_oks(kpts, gt)
 
+    is_crowd = np.array([int(bool(g.get("iscrowd", 0))) for g in gts],
+                        np.int32)
     T = len(OKS_THRESHOLDS)
     dt_matches = np.zeros((T, len(dts)), np.int32)
     dt_ignore = np.zeros((T, len(dts)), np.int32)
@@ -131,7 +143,9 @@ def _evaluate_image(dts: List[dict], gts: List[dict],
             best_iou = min(thr, 1 - 1e-10)
             best = -1
             for gi in range(len(gts)):
-                if gt_matched[gi]:
+                # crowd gts stay re-matchable by multiple detections
+                # (official evaluateImg semantics)
+                if gt_matched[gi] and not is_crowd[gi]:
                     continue
                 # once matched to a real gt, don't switch to an ignored one
                 if best > -1 and gt_ignore[best] == 0 and gt_ignore[gi] == 1:
@@ -145,6 +159,12 @@ def _evaluate_image(dts: List[dict], gts: List[dict],
             gt_matched[best] = True
             dt_matches[ti, di] = 1
             dt_ignore[ti, di] = gt_ignore[best]
+        # unmatched detections whose (keypoint-bbox) area is outside the
+        # range are ignored, not false positives (official dtIg rule)
+        for di, dt in enumerate(dts):
+            if dt_matches[ti, di] == 0 and "area" in dt and not (
+                    area_range[0] <= dt["area"] < area_range[1]):
+                dt_ignore[ti, di] = 1
     return _ImgEval(
         dt_scores=np.array([d["score"] for d in dts]),
         dt_matches=dt_matches,

@@ -31,8 +31,14 @@ class PoseResult(NamedTuple):
     num_peaks: jnp.ndarray
 
 
-_LIMBS_A = jnp.asarray([a for a, _ in LIMBS], jnp.int32)
-_LIMBS_B = jnp.asarray([b for _, b in LIMBS], jnp.int32)
+# numpy, not jnp: a module-level device array would initialize the JAX
+# backend at import time, locking the platform before the caller can pick
+# one (and on this machine triggering a remote-TPU connection just from
+# importing the library).  jnp converts these inside the jitted callers.
+import numpy as np
+
+_LIMBS_A = np.asarray([a for a, _ in LIMBS], np.int32)
+_LIMBS_B = np.asarray([b for _, b in LIMBS], np.int32)
 
 
 def postprocess_pose(pafs: jnp.ndarray, heatmaps: jnp.ndarray,

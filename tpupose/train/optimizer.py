@@ -72,8 +72,41 @@ def scale_stem_grads(params_template: Any,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-class DelayedState(optax.EmptyState):
-    pass
+def scale_by_chainer_adam(b1: float, b2: float,
+                          eps: float) -> optax.GradientTransformation:
+    """Adam with Chainer's update rule
+    ``alpha_t * m / (sqrt(v) + eps)`` where
+    ``alpha_t = sqrt(1 - b2^t) / (1 - b1^t)`` (``chainer.optimizers.Adam``).
+
+    optax's ``scale_by_adam`` computes ``m_hat / (sqrt(v_hat) + eps)``
+    instead, which is equivalent to an effective epsilon of
+    ``eps * sqrt(1 - b2^t)`` — ~31x smaller at step 1 for b2=0.999 — so
+    early updates of near-zero-variance parameters would diverge from the
+    reference trainer.
+    """
+
+    def init_fn(params):
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "m": jax.tree_util.tree_map(jnp.zeros_like, params),
+            "v": jax.tree_util.tree_map(jnp.zeros_like, params),
+        }
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state["count"] + 1
+        m = jax.tree_util.tree_map(
+            lambda mu, g: b1 * mu + (1 - b1) * g, state["m"], updates)
+        v = jax.tree_util.tree_map(
+            lambda nu, g: b2 * nu + (1 - b2) * (g * g), state["v"],
+            updates)
+        t = count.astype(jnp.float32)
+        alpha_t = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        new_updates = jax.tree_util.tree_map(
+            lambda mu, nu: alpha_t * mu / (jnp.sqrt(nu) + eps), m, v)
+        return new_updates, {"count": count, "m": m, "v": v}
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def delayed(inner: optax.GradientTransformation,
@@ -124,7 +157,7 @@ def make_optimizer(params_template: Any, cfg: TrainConfig,
     if schedule is None:
         schedule = make_lr_schedule(cfg)
 
-    adam = optax.scale_by_adam(
+    adam = scale_by_chainer_adam(
         b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_eps)
 
     parts = []
