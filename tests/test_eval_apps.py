@@ -252,3 +252,45 @@ class TestBatchedCrops:
         assert HandDetector(
             "handnet",
             cfg=HandConfig(img_size=64)).detect_batch([], []) == []
+
+
+class TestEvaluatorProtocolRules:
+    def test_crowd_rematchable_by_multiple_dts(self):
+        """Two detections overlapping one crowd region: both ignored,
+        neither a false positive (official evaluateImg semantics)."""
+        rng = np.random.RandomState(10)
+        ev = KeypointEvaluator()
+        k = _random_kpts17(rng, lo=60, hi=140)
+        gts = [_gt_from_pose17(k)]
+        crowd = {"keypoints": [0.0] * 51, "num_keypoints": 0,
+                 "area": 10000.0, "bbox": [400, 400, 100, 100],
+                 "iscrowd": 1}
+        good = {"keypoints": [float(v) for row in k for v in row],
+                "score": 0.9, "area": 6000.0}
+        in_crowd = [{"keypoints": [float(v) for v in
+                                   np.full((17, 3), 420.0 + 10 * i
+                                           ).reshape(-1)],
+                     "score": 0.8 - 0.1 * i, "area": 5000.0}
+                    for i in range(2)]
+        ev.add_image([good] + in_crowd, gts + [crowd])
+        assert ev.summarize()["AP"] == pytest.approx(1.0)
+
+    def test_out_of_range_unmatched_dt_ignored(self):
+        """A large-person detection under the 'medium' range is ignored
+        when unmatched, not counted as FP."""
+        from tpupose.evaluation import AREA_RANGES, _accumulate, \
+            _evaluate_image
+
+        rng = np.random.RandomState(11)
+        k_med = _random_kpts17(rng, lo=100, hi=150)   # ~50x50 extent
+        gt_med = _gt_from_pose17(k_med, area=2500.0)
+        dt_med = {"keypoints": [float(v) for row in k_med for v in row],
+                  "score": 0.9, "area": 2500.0}
+        # far-away large detection (area > 96^2)
+        k_large = _random_kpts17(rng, lo=400, hi=520)
+        dt_large = {"keypoints": [float(v) for row in k_large for v in row],
+                    "score": 0.95, "area": float(120 * 120)}
+        e = _evaluate_image([dt_med, dt_large], [gt_med],
+                            AREA_RANGES["medium"])
+        stats = _accumulate([e])
+        assert stats["AP"] == pytest.approx(1.0)
