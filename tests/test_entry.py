@@ -1,6 +1,5 @@
 """Driver-contract checks: entry() shapes and bench metric format."""
 
-import json
 import os
 import subprocess
 import sys

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from tpupose.models import ARCHS, CocoPoseNet, FaceNet, HandNet
+from tpupose.models import ARCHS, CocoPoseNet
 from tpupose.weights import load_npz_params, save_npz_params
 
 INSIZE = 64  # small but pool-divisible (64 -> 8 at stride 8)

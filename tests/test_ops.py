@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from tpupose.config import LIMBS, NUM_JOINTS, InferenceConfig
+from tpupose.config import NUM_JOINTS, InferenceConfig
 from tpupose.ops import (
     compute_optimal_size,
     find_peaks,

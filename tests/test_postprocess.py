@@ -8,10 +8,9 @@ from tpupose.ops import postprocess_pose
 from tpupose.ops.grouping import (
     group_keypoints,
     group_keypoints_numpy,
-    subsets_to_poses,
 )
 from tpupose.ops.paf import Connections, compute_connections
-from tpupose.ops.peaks import Peaks, find_peaks
+from tpupose.ops.peaks import Peaks
 
 from oracles import oracle_connections, oracle_peaks
 

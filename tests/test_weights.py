@@ -5,8 +5,6 @@ ENCODER (the inverse of ``tpupose.weights.caffe``'s reader), covering both
 the new ``layer=100`` and legacy ``layers=2`` formats.
 """
 
-import struct
-
 import jax
 import jax.numpy as jnp
 import numpy as np
