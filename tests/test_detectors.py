@@ -211,3 +211,45 @@ class TestPostprocessCap:
         pe = np.sort(poses_e[:, :, :2].reshape(-1))
         pc = np.sort(poses_c[:, :, :2].reshape(-1))
         np.testing.assert_allclose(pc, pe, atol=4.0)
+
+
+class TestCropLimbSemantics:
+    def test_unit_length_counts_absent_joints_like_reference(self):
+        """The reference's `is not None` never filters ndarray rows, so
+        limbs to absent joints at (0, 0) ARE measured."""
+        from tpupose.detectors import compute_limbs_length, get_unit_length
+
+        pose = np.zeros((18, 3))
+        pose[1] = (300, 200, 2)  # neck only; nose absent at (0, 0, 0)
+        limbs_len, limbs = compute_limbs_length(pose)
+        # limb 14 = neck-nose -> distance neck to (0, 0)
+        np.testing.assert_allclose(limbs_len[14], np.hypot(300, 200),
+                                   rtol=1e-6)
+        # base limbs nonzero -> unit length from base table
+        assert get_unit_length(pose) > 0
+
+    def test_tail_stride_bounds_compiles_and_stays_close(self):
+        from tpupose.config import FaceConfig
+        from tpupose.detectors import FaceDetector
+
+        rng = np.random.RandomState(9)
+        exact = FaceDetector("facenet", cfg=FaceConfig(img_size=64))
+        strided = FaceDetector("facenet", cfg=FaceConfig(img_size=64),
+                               tail_stride=16)
+        crops = [rng.randint(0, 255, (40 + i, 37 + 2 * i, 3),
+                             dtype=np.uint8) for i in range(4)]
+        for crop in crops:
+            strided(crop)
+        # 4 distinct crop sizes -> at most 2 distinct strided tails
+        tails = {k for k in strided._fns if k[0] == "tail"}
+        assert len(tails) <= 2
+        # keypoints stay within ~2 px of the exact path
+        for crop in crops:
+            a = exact(crop)
+            b = strided(crop)
+            for ka, kb in zip(a, b):
+                if ka is None or kb is None:
+                    assert ka == kb
+                else:
+                    assert abs(ka[0] - kb[0]) <= 2
+                    assert abs(ka[1] - kb[1]) <= 2

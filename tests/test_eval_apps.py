@@ -40,10 +40,14 @@ class _StubModel:
     def apply(self, variables, x):
         from tpupose.ops.resize import resize_cv2_linear
 
-        h, w = x.shape[1] // 8, x.shape[2] // 8
+        b, h, w = x.shape[0], x.shape[1] // 8, x.shape[2] // 8
         paf = resize_cv2_linear(jnp.asarray(self._pafs), (h, w))
         hm = resize_cv2_linear(jnp.asarray(self._heatmaps), (h, w))
-        stack = lambda a: jnp.broadcast_to(a[None], (6,) + a.shape)  # noqa
+
+        def stack(a):  # same maps for every frame and stage
+            a = jnp.broadcast_to(a, (b,) + a.shape[1:])
+            return jnp.broadcast_to(a[None], (6,) + a.shape)
+
         return stack(paf), stack(hm)
 
 

@@ -69,6 +69,14 @@ LIMBS: Tuple[Tuple[int, int], ...] = (
 
 NUM_LIMBS = len(LIMBS)  # 19
 
+# Limb endpoints as arrays, shared by the GT renderer and postprocess
+# kernels.  Kept as numpy (not jnp) so importing the library never
+# initializes a JAX backend; jitted code converts them at trace time.
+import numpy as _np  # noqa: E402
+
+LIMBS_FROM = _np.asarray([a for a, _ in LIMBS], _np.int32)
+LIMBS_TO = _np.asarray([b for _, b in LIMBS], _np.int32)
+
 # Limbs that never spawn a new person subset during grouping
 # (shoulder->ear links; ref ``pose_detector.py:237``).
 NON_SPAWNING_LIMBS: Tuple[int, ...] = (9, 13)

@@ -27,10 +27,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from tpupose.config import LIMBS, NUM_JOINTS
+from tpupose.config import LIMBS, LIMBS_FROM, LIMBS_TO, NUM_JOINTS
 
-_LIMB_FROM = np.asarray([a for a, _ in LIMBS], np.int32)
-_LIMB_TO = np.asarray([b for _, b in LIMBS], np.int32)
+_LIMB_FROM = LIMBS_FROM
+_LIMB_TO = LIMBS_TO
 
 
 def _grids(height: int, width: int):
@@ -46,6 +46,10 @@ def render_heatmaps(poses: jnp.ndarray, height: int, width: int,
     Returns (19, H, W) float32 — 18 joint channels + background
     (ref ``coco_data_loader.py:216-229``).
     """
+    if poses.shape[0] == 0:  # no people: all-background map
+        return jnp.concatenate(
+            [jnp.zeros((NUM_JOINTS, height, width), jnp.float32),
+             jnp.ones((1, height, width), jnp.float32)], axis=0)
     gx, gy = _grids(height, width)
     x = poses[:, :, 0][:, :, None, None]       # (P, J, 1, 1)
     y = poses[:, :, 1][:, :, None, None]
@@ -63,6 +67,8 @@ def render_pafs(poses: jnp.ndarray, height: int, width: int,
     """poses: (P, 18, 3) -> (38, H, W) float32 part-affinity fields
     (ref ``coco_data_loader.py:232-268``; limb i in channels 2i, 2i+1).
     """
+    if poses.shape[0] == 0:  # no people: zero fields
+        return jnp.zeros((2 * len(LIMBS), height, width), jnp.float32)
     gx, gy = _grids(height, width)
     limb_from = jnp.asarray(_LIMB_FROM)
     limb_to = jnp.asarray(_LIMB_TO)

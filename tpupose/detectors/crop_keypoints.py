@@ -35,8 +35,17 @@ class CropKeypointDetector:
     def __init__(self, arch: str, cfg,
                  weights_file: Optional[str] = None,
                  params=None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 tail_stride: int = 1):
+        """``tail_stride`` > 1 rounds each crop's tail-resize target up to a
+        multiple, so streaming workloads with continuously varying crop
+        sizes (person boxes derive from float unit lengths) compile a
+        BOUNDED set of tail programs instead of one per unique (h, w);
+        keypoint coordinates are rescaled back to the true crop size
+        (<= ~1 px shift).  1 = exact reference semantics (argmax at crop
+        resolution, ``face_detector.py:38,54-66``)."""
         self.cfg = cfg
+        self.tail_stride = tail_stride
         self.model = ARCHS[arch](dtype=compute_dtype)
         if params is not None:
             self.variables = params if "params" in params else {
@@ -52,15 +61,29 @@ class CropKeypointDetector:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _to_keypoints(xs, ys, score, valid):
+    def _to_keypoints(xs, ys, score, valid, scale=(1.0, 1.0)):
         """(C,) device outputs -> list of [x, y, conf] or None per channel
         (the reference's per-keypoint threshold gating)."""
         xs, ys = np.asarray(xs), np.asarray(ys)
         score, valid = np.asarray(score), np.asarray(valid)
+        sx, sy = scale
         return [
-            [int(xs[i]), int(ys[i]), float(score[i])] if valid[i] else None
+            [int(round(xs[i] * sx)), int(round(ys[i] * sy)),
+             float(score[i])] if valid[i] else None
             for i in range(len(xs))
         ]
+
+    def _tail_target(self, crop_hw):
+        """Tail-resize target (== crop size at stride 1) and the coord
+        rescale back to true crop pixels (align-corners mapping)."""
+        s = self.tail_stride
+        h, w = crop_hw
+        if s <= 1:
+            return (h, w), (1.0, 1.0)
+        th = -(-h // s) * s
+        tw = -(-w // s) * s
+        return (th, tw), ((w - 1) / max(tw - 1, 1),
+                          (h - 1) / max(th - 1, 1))
 
     def _tail_fn(self, crop_hw, flip: bool):
         """Heatmap -> keypoints tail, jitted per crop geometry."""
@@ -116,10 +139,11 @@ class CropKeypointDetector:
 
         if flip:
             crop = cv2.flip(crop, 1)
-        h, w = crop.shape[:2]
+        target_hw, scale = self._tail_target(crop.shape[:2])
         resized = cv2.resize(crop, (self.cfg.img_size, self.cfg.img_size))
-        fn = self._single_fn((h, w), flip)
-        return self._to_keypoints(*fn(self.variables, jnp.asarray(resized)))
+        fn = self._single_fn(target_hw, flip)
+        return self._to_keypoints(
+            *fn(self.variables, jnp.asarray(resized)), scale=scale)
 
     def detect_crops(self, crops, flips=None):
         """All crops through ONE batched forward (the reference runs crops
@@ -140,6 +164,7 @@ class CropKeypointDetector:
             self.variables, jnp.asarray(np.stack(prepped)))
         out = []
         for i, (crop, flip) in enumerate(zip(crops, flips)):
-            tail = self._tail_fn(crop.shape[:2], flip)
-            out.append(self._to_keypoints(*tail(heatmaps[i])))
+            target_hw, scale = self._tail_target(crop.shape[:2])
+            tail = self._tail_fn(target_hw, flip)
+            out.append(self._to_keypoints(*tail(heatmaps[i]), scale=scale))
         return out

@@ -41,17 +41,20 @@ _BOTTOM_PADDING_RATIO = [6.9, 5.9, 5.9, 4.9, 4.1, 5.9, 4.9, 4.1, 3.8, 2.3,
 
 
 def compute_limbs_length(pose: np.ndarray):
-    """pose: (18, 3).  Returns (limbs_len (19,), limbs list) as the
-    reference (``pose_detector.py:267-277``) — a joint is "present" when its
-    visibility flag is nonzero."""
+    """pose: (18, 3).  Returns (limbs_len (19,), limbs list) with the
+    reference's exact semantics (``pose_detector.py:267-277``).
+
+    Note the reference guards with ``joints[i] is not None`` — which never
+    filters ndarray rows, so limbs are measured for EVERY joint pair,
+    including absent joints stored at (0, 0).  The golden crop boxes were
+    produced by that behavior, so it is replicated verbatim (a visibility
+    gate here would change unit lengths whenever any joint is occluded)."""
     limbs_len = np.zeros(NUM_LIMBS)
     limbs = []
     for i, (ja, jb) in enumerate(LIMBS):
-        if pose[ja][2] > 0 and pose[jb][2] > 0:
-            limbs.append((pose[ja], pose[jb]))
-            limbs_len[i] = np.linalg.norm(pose[jb][:2] - pose[ja][:2])
-        else:
-            limbs.append(None)
+        limbs.append((pose[ja], pose[jb]))
+        limbs_len[i] = np.linalg.norm(
+            pose[jb][:2].astype(np.float64) - pose[ja][:2])
     return limbs_len, limbs
 
 

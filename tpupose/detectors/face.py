@@ -23,9 +23,11 @@ class FaceDetector(CropKeypointDetector):
                  weights_file: Optional[str] = None,
                  params=None,
                  cfg: FaceConfig = FACE,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 tail_stride: int = 1):
         super().__init__(arch, cfg, weights_file=weights_file,
-                         params=params, compute_dtype=compute_dtype)
+                         params=params, compute_dtype=compute_dtype,
+                         tail_stride=tail_stride)
 
     def __call__(self, face_img: np.ndarray):
         return self.detect_crop(face_img)

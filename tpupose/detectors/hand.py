@@ -24,9 +24,11 @@ class HandDetector(CropKeypointDetector):
                  weights_file: Optional[str] = None,
                  params=None,
                  cfg: HandConfig = HAND,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 tail_stride: int = 1):
         super().__init__(arch, cfg, weights_file=weights_file,
-                         params=params, compute_dtype=compute_dtype)
+                         params=params, compute_dtype=compute_dtype,
+                         tail_stride=tail_stride)
 
     def __call__(self, hand_img: np.ndarray, hand_type: str = "right"):
         return self.detect_crop(hand_img, flip=(hand_type == "left"))

@@ -203,7 +203,8 @@ class PoseDetector:
         resized = np.stack(
             [cv2.resize(img, (input_w, input_h)) for img in imgs])
         fn = self._batch_fn(b, (input_h, input_w), (map_h, map_w))
-        results = fn(self.variables, jnp.asarray(resized))
+        # fetch the whole batch result in ONE transfer, then slice on host
+        results = jax.device_get(fn(self.variables, jnp.asarray(resized)))
         out = []
         for i in range(b):
             frame_result = jax.tree_util.tree_map(lambda a: a[i], results)
@@ -354,9 +355,14 @@ class PoseDetector:
 
     def _emit(self, result, scale_x: float, scale_y: float):
         """Rescale to original pixels and compact to dynamic (N, 18, 3)
-        arrays (ref ``pose_detector.py:513-517``)."""
+        arrays (ref ``pose_detector.py:513-517``).
+
+        One ``jax.device_get`` for the whole result tuple — per-field
+        ``np.asarray`` would issue four sequential round trips over the
+        (high-latency) device link per frame."""
+        result = jax.device_get(result)
         valid = np.asarray(result.valid)
-        if int(np.asarray(result.num_peaks)) == 0 or not valid.any():
+        if int(result.num_peaks) == 0 or not valid.any():
             return (np.empty((0, NUM_JOINTS, 3)), np.empty(0))
         poses = np.asarray(result.poses)[valid]
         scores = np.asarray(result.scores)[valid]

@@ -40,6 +40,8 @@ import numpy as np
 
 from tpupose.config import (
     LIMBS,
+    LIMBS_FROM,
+    LIMBS_TO,
     NON_SPAWNING_LIMBS,
     NUM_JOINTS,
     InferenceConfig,
@@ -89,8 +91,8 @@ def group_keypoints(connections: Connections, peaks: Peaks,
     k = connections.a_slot.shape[1]
     s_cap = cfg.max_subsets
 
-    limbs_a = jnp.asarray([a for a, _ in LIMBS], jnp.int32)
-    limbs_b = jnp.asarray([b for _, b in LIMBS], jnp.int32)
+    limbs_a = jnp.asarray(LIMBS_FROM)
+    limbs_b = jnp.asarray(LIMBS_TO)
     spawning = jnp.asarray(
         [l not in NON_SPAWNING_LIMBS for l in range(num_limbs)])
 

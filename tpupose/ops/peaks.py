@@ -97,7 +97,7 @@ def extract_peaks(mask: jnp.ndarray, smoothed: jnp.ndarray,
 
 
 def find_peaks(heatmaps: jnp.ndarray, sigma: float, thresh: float,
-               max_peaks: int, use_pallas: bool = None) -> Peaks:
+               max_peaks: int, use_pallas: bool = False) -> Peaks:
     """Full peak pipeline: blur -> NMS -> static top-K extraction.
 
     heatmaps: (J, H, W) *without* the background channel (the reference
@@ -110,8 +110,6 @@ def find_peaks(heatmaps: jnp.ndarray, sigma: float, thresh: float,
     bit-identical and XLA is faster at pose-map sizes (1.45 vs 2.63
     ms/call at 18x46x62), so Pallas stays opt-in.
     """
-    if use_pallas is None:
-        use_pallas = False
     if use_pallas:
         from tpupose.ops.pallas.blur_nms import blur_nms_pallas
 

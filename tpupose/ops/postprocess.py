@@ -14,7 +14,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from tpupose.config import LIMBS, InferenceConfig
+from tpupose.config import LIMBS_FROM, LIMBS_TO, InferenceConfig
 from tpupose.ops.grouping import group_keypoints, subsets_to_poses
 from tpupose.ops.paf import compute_connections
 from tpupose.ops.peaks import find_peaks
@@ -31,14 +31,8 @@ class PoseResult(NamedTuple):
     num_peaks: jnp.ndarray
 
 
-# numpy, not jnp: a module-level device array would initialize the JAX
-# backend at import time, locking the platform before the caller can pick
-# one (and on this machine triggering a remote-TPU connection just from
-# importing the library).  jnp converts these inside the jitted callers.
-import numpy as np
-
-_LIMBS_A = np.asarray([a for a, _ in LIMBS], np.int32)
-_LIMBS_B = np.asarray([b for _, b in LIMBS], np.int32)
+_LIMBS_A = LIMBS_FROM
+_LIMBS_B = LIMBS_TO
 
 
 def postprocess_pose(pafs: jnp.ndarray, heatmaps: jnp.ndarray,
