@@ -34,13 +34,21 @@ def open_capture(args):
     return cap
 
 
-def make_sink(args, frame_shape):
+def source_fps(cap) -> float:
+    """Source frame rate for the --save writer (30 when unreported)."""
+    import cv2
+
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    return float(fps) if fps and fps > 0 else 30.0
+
+
+def make_sink(args, frame_shape, fps: float = 30.0):
     import cv2
 
     writer = None
     if args.save:
         fourcc = cv2.VideoWriter_fourcc(*"mp4v")
-        writer = cv2.VideoWriter(args.save, fourcc, 30.0,
+        writer = cv2.VideoWriter(args.save, fourcc, fps,
                                  (frame_shape[1], frame_shape[0]))
 
     def emit(img):
@@ -82,7 +90,7 @@ def run_pose_batched(args):
             res = cv2.addWeighted(img, 0.6, draw_person_pose(img, poses),
                                   0.4, 0)
             if emit is None:
-                emit, writer = make_sink(args, img.shape)
+                emit, writer = make_sink(args, img.shape, source_fps(cap))
             emit(res)
             n_frames += 1
         if len(frames) < args.batch:
@@ -126,7 +134,7 @@ def run_pose(args):
             res = cv2.addWeighted(prev_img, 0.6,
                                   draw_person_pose(prev_img, poses), 0.4, 0)
             if emit is None:
-                emit, writer = make_sink(args, prev_img.shape)
+                emit, writer = make_sink(args, prev_img.shape, source_fps(cap))
             emit(res)
             n_frames += 1
         pending = (handle, img)
@@ -139,7 +147,7 @@ def run_pose(args):
         res = cv2.addWeighted(img, 0.6, draw_person_pose(img, poses),
                               0.4, 0)
         if emit is None:
-            emit, writer = make_sink(args, img.shape)
+            emit, writer = make_sink(args, img.shape, source_fps(cap))
         emit(res)
         n_frames += 1
     dt = time.perf_counter() - t0
@@ -178,7 +186,7 @@ def run_face(args):
             keypoints = detector(crop)
             res = draw_face_keypoints(res, keypoints, left_top)
         if emit is None:
-            emit, writer = make_sink(args, img.shape)
+            emit, writer = make_sink(args, img.shape, source_fps(cap))
         emit(res)
         n_frames += 1
         if args.max_frames and n_frames >= args.max_frames:

@@ -69,7 +69,14 @@ class CocoPoseDataset:
         self.mask_dir = mask_dir
         self.mode = mode
         self.cfg = cfg
-        self.img_ids = self.coco.img_ids_with_person()
+        if mode == "eval":
+            # official COCO protocol scores EVERY image in the split —
+            # detections on person-free images must count as false
+            # positives (the reference restricts even eval mode to person
+            # images, inflating AP; parity with pycocotools wins here)
+            self.img_ids = sorted(self.coco.imgs.keys())
+        else:
+            self.img_ids = self.coco.img_ids_with_person()
         if mode in ("val", "eval") and n_samples is not None:
             rng = np.random.RandomState(seed)
             n = min(n_samples, len(self.img_ids))
@@ -120,7 +127,15 @@ class CocoPoseDataset:
     def sample(self, index: int):
         """Training/val sample: (img u8 (S,S,3), poses (P,18,3) f32,
         ignore_mask (S,S) bool).  Images without valid annotations are
-        resampled (ref ``:350-353``)."""
+        resampled (ref ``:350-353``); BOTH train and val samples go
+        through the augmentation chain (the reference's
+        ``generate_labels`` augments unconditionally, ``:334-341``).
+
+        Poses stay int32 through augmentation: the reference assigns every
+        stage's float results back into int32 arrays, truncating after
+        each of resize/rotate/crop (``coco_data_loader.py:78,119-123``) —
+        GT Gaussian centers and PAF bands inherit that quantization.
+        """
         img_id = self.img_ids[index]
         anns = self._valid_annotations(img_id)
         while anns is None:
@@ -129,11 +144,10 @@ class CocoPoseDataset:
 
         img = self.load_image(img_id)
         ignore_mask = self.load_ignore_mask(img_id, img.shape[:2])
-        poses = parse_annotations(anns).astype(np.float32)
+        poses = parse_annotations(anns)  # int32, as the reference keeps it
 
-        if self.mode == "train":
-            img, ignore_mask, poses = augment(
-                img, ignore_mask, poses, self.cfg, self._rng)
+        img, ignore_mask, poses = augment(
+            img, ignore_mask, poses, self.cfg, self._rng)
         img, ignore_mask, poses = resize_triple(
             img, ignore_mask, poses, (self.cfg.insize, self.cfg.insize))
 
@@ -145,7 +159,25 @@ class CocoPoseDataset:
         ignore_mask = cv2.morphologyEx(
             ignore_mask.astype(np.uint8), cv2.MORPH_DILATE,
             np.ones((k, k))).astype(bool)
-        return img, poses, ignore_mask
+
+        # Static capacity: persons beyond max_persons can't be rendered
+        # into the GT table — mask their regions out so the loss doesn't
+        # train their (correct) detections as background (the reference
+        # renders all persons; dropping without masking would actively
+        # penalize them).
+        if len(poses) > self.cfg.max_persons:
+            for pose in poses[self.cfg.max_persons:]:
+                pts = pose[pose[:, 2] > 0]
+                if not len(pts):
+                    continue
+                pad = int(self.cfg.heatmap_sigma * 2)
+                x0 = max(int(pts[:, 0].min()) - pad, 0)
+                y0 = max(int(pts[:, 1].min()) - pad, 0)
+                x1 = min(int(pts[:, 0].max()) + pad, self.cfg.insize)
+                y1 = min(int(pts[:, 1].max()) + pad, self.cfg.insize)
+                ignore_mask[y0:y1, x0:x1] = True
+            poses = poses[:self.cfg.max_persons]
+        return img, poses.astype(np.float32), ignore_mask
 
     def eval_sample(self, index: int):
         """(img, annotations, img_id) for the AP harness."""

@@ -103,14 +103,12 @@ class BatchLoader:
         imgs = np.stack([s[0] for s in samples])
         poses = pad_poses([s[1] for s in samples], self.max_persons)
         masks = np.stack([s[2] for s in samples])
-        batch = TrainBatch(imgs=imgs, poses=poses, ignore_mask=masks)
+        arrays = {"imgs": imgs, "poses": poses, "ignore_mask": masks}
         if self.mesh is not None:
             from tpupose.parallel import shard_batch
 
-            batch = TrainBatch(**shard_batch(
-                {"imgs": imgs, "poses": poses, "ignore_mask": masks},
-                self.mesh))
-        return batch
+            arrays = shard_batch(arrays, self.mesh)
+        return TrainBatch(**arrays)
 
     def _sample_stream(self):
         idx = self._index_stream()

@@ -51,15 +51,12 @@ def poses_to_results(poses: np.ndarray, scores: Sequence[float],
     for pose, score in zip(poses, scores):
         kpts = pose18_to_coco17(pose)
         n = max(1, int((pose[:, 2] > 0).sum()))
-        present = kpts[kpts[:, 2] > 0]
-        if len(present):
-            # keypoint-extent bbox area, as pycocotools' loadRes derives
-            # for keypoint results (used by the area-range ignore rule)
-            x0, y0 = present[:, 0].min(), present[:, 1].min()
-            x1, y1 = present[:, 0].max(), present[:, 1].max()
-            area = float((x1 - x0) * (y1 - y0))
-        else:
-            area = 0.0
+        # keypoint-extent bbox area over ALL 17 slots including the (0, 0)
+        # placeholders of absent joints — exactly pycocotools' loadRes
+        # derivation for keypoint results (the area-range ignore rule uses
+        # it, so matching the quirk matters for AP_medium/AP_large parity)
+        xs_, ys_ = kpts[:, 0], kpts[:, 1]
+        area = float((xs_.max() - xs_.min()) * (ys_.max() - ys_.min()))
         results.append({
             "image_id": int(img_id),
             "category_id": 1,
@@ -105,32 +102,50 @@ class _ImgEval:
         self.n_gt = n_gt
 
 
-def _evaluate_image(dts: List[dict], gts: List[dict],
-                    area_range) -> Optional[_ImgEval]:
+def _compute_ious(dts: List[dict], gts: List[dict]) -> np.ndarray:
+    """OKS matrix for score-sorted dts x original-order gts; computed once
+    per image and reused across area ranges (official computeIoU does the
+    same — OKS is range-independent)."""
+    ious = np.zeros((len(dts), len(gts)))
+    for i, dt in enumerate(dts):
+        kpts = np.asarray(dt["keypoints"], np.float64).reshape(-1, 3)
+        for j, gt in enumerate(gts):
+            ious[i, j] = compute_oks(kpts, gt)
+    return ious
+
+
+def _sort_dts(dts: List[dict]) -> List[dict]:
+    order = np.argsort([-d["score"] for d in dts], kind="stable")
+    return [dts[i] for i in order][:MAX_DETS]
+
+
+def _evaluate_image(dts: List[dict], gts: List[dict], area_range,
+                    ious: Optional[np.ndarray] = None
+                    ) -> Optional[_ImgEval]:
     """Greedy per-threshold matching for one image (``evaluateImg``
     semantics: score-ordered dts, each takes the best still-unmatched gt
     with OKS above threshold; ignored gts only match when nothing real
-    does, and such dts are ignored rather than counted as FP)."""
+    does, and such dts are ignored rather than counted as FP).
+
+    ``dts`` must already be score-sorted/truncated (``_sort_dts``) when a
+    precomputed ``ious`` matrix is supplied.
+    """
+    if ious is None:
+        dts = _sort_dts(dts)
+        ious = _compute_ious(dts, gts)
     if not dts and not gts:
         return None
+    # inclusive bounds: official COCOeval ignores area < lo or area > hi
     gt_ignore = np.array([
         1 if (g.get("iscrowd", 0) or g.get("num_keypoints", 0) == 0
-              or not (area_range[0] <= g.get("area", 0) < area_range[1]))
+              or not (area_range[0] <= g.get("area", 0) <= area_range[1]))
         else 0
         for g in gts], np.int32)
     # sort gts: unignored first (stable), as the official evaluator does
     gt_order = np.argsort(gt_ignore, kind="stable")
     gts = [gts[i] for i in gt_order]
     gt_ignore = gt_ignore[gt_order]
-
-    dt_order = np.argsort([-d["score"] for d in dts], kind="stable")
-    dts = [dts[i] for i in dt_order][:MAX_DETS]
-
-    ious = np.zeros((len(dts), len(gts)))
-    for i, dt in enumerate(dts):
-        kpts = np.asarray(dt["keypoints"], np.float64).reshape(-1, 3)
-        for j, gt in enumerate(gts):
-            ious[i, j] = compute_oks(kpts, gt)
+    ious = ious[:, gt_order] if len(gts) else ious
 
     is_crowd = np.array([int(bool(g.get("iscrowd", 0))) for g in gts],
                         np.int32)
@@ -163,7 +178,7 @@ def _evaluate_image(dts: List[dict], gts: List[dict],
         # range are ignored, not false positives (official dtIg rule)
         for di, dt in enumerate(dts):
             if dt_matches[ti, di] == 0 and "area" in dt and not (
-                    area_range[0] <= dt["area"] < area_range[1]):
+                    area_range[0] <= dt["area"] <= area_range[1]):
                 dt_ignore[ti, di] = 1
     return _ImgEval(
         dt_scores=np.array([d["score"] for d in dts]),
@@ -226,8 +241,10 @@ class KeypointEvaluator:
             k: [] for k in AREA_RANGES}
 
     def add_image(self, dts: List[dict], gts: List[dict]) -> None:
+        dts = _sort_dts(dts)
+        ious = _compute_ious(dts, gts)  # OKS once, reused per range
         for name, rng in AREA_RANGES.items():
-            self._images[name].append(_evaluate_image(dts, gts, rng))
+            self._images[name].append(_evaluate_image(dts, gts, rng, ious))
 
     def summarize(self) -> Dict[str, float]:
         out = {}
