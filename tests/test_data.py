@@ -276,3 +276,58 @@ class TestMultiprocessLoader:
             loader.close()
         assert len(batches) == 2
         assert batches[0].imgs.shape == (2, 64, 64, 3)
+
+
+class TestCapacityAndDtypeParity:
+    def test_poses_stay_int_through_augmentation(self, mini_coco):
+        """The reference truncates pose coords into int32 arrays at every
+        augmentation stage; the chain must preserve that dtype."""
+        from tpupose.data.augment import augment
+        from tpupose.data.dataset import parse_annotations
+        from tpupose.data.coco_json import CocoAnnotations
+
+        coco = CocoAnnotations(mini_coco["ann"])
+        anns = [a for a in coco.annotations(1)
+                if a.get("num_keypoints", 0) >= 5]
+        poses = parse_annotations(anns)
+        assert poses.dtype == np.int32
+        img = CV2.imread(os.path.join(mini_coco["img_dir"],
+                                      "000000000001.jpg"))
+        mask = np.zeros(img.shape[:2], bool)
+        rng = np.random.RandomState(0)
+        cfg = TrainConfig(insize=128)
+        _, _, out = augment(img, mask, poses, cfg, rng)
+        assert out.dtype == np.int32
+
+    def test_excess_persons_masked_not_trained_as_background(self,
+                                                             tmp_path):
+        """Persons beyond max_persons must land in the ignore mask."""
+        import json as json_mod
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.RandomState(0)
+        CV2.imwrite(str(img_dir / "000000000001.jpg"),
+                    rng.randint(0, 255, (128, 128, 3), dtype=np.uint8))
+        anns = []
+        for p in range(3):  # 3 persons, max_persons=2
+            kpts = []
+            for i in range(17):
+                kpts += [20 + 30 * p + 2 * i, 30 + 4 * i, 2]
+            anns.append({"id": p + 1, "image_id": 1, "category_id": 1,
+                         "keypoints": kpts, "num_keypoints": 17,
+                         "area": 2000.0, "iscrowd": 0,
+                         "segmentation": [[0, 0, 1, 0, 1, 1]]})
+        ann_file = str(tmp_path / "ann.json")
+        with open(ann_file, "w") as f:
+            json_mod.dump({
+                "images": [{"id": 1, "file_name": "000000000001.jpg",
+                            "height": 128, "width": 128}],
+                "annotations": anns,
+                "categories": [{"id": 1, "name": "person"}]}, f)
+
+        cfg = TrainConfig(insize=128, max_persons=2)
+        ds = CocoPoseDataset(ann_file, str(img_dir), mode="val", cfg=cfg)
+        img, poses, mask = ds.sample(0)
+        assert poses.shape[0] == 2
+        assert mask.any()  # dropped person's region is ignored
