@@ -5,7 +5,8 @@ chains (``/root/reference/models/CocoPoseNet.py``, ``FaceNet.py``,
 ``HandNet.py`` — ~80% duplicated stage code).  Here the common structure is
 factored into reusable Flax modules, laid out NHWC (the TPU-native layout so
 XLA tiles convolutions directly onto the MXU) with a configurable compute
-dtype (bfloat16 by default for inference) and float32 parameters.
+dtype (float32 default; pass ``dtype=jnp.bfloat16`` for bf16-native
+inference) and float32 parameters.
 
 Module/parameter names intentionally mirror the Chainer layer names
 (``conv1_1`` ... ``Mconv7_stage6_L2``) so converted ``.npz`` weights map 1:1

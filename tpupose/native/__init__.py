@@ -26,12 +26,21 @@ _build_failed = False
 
 
 def _build() -> bool:
+    """Compile to a per-process temp path and rename atomically: spawned
+    dataloader workers all hit the first-use build concurrently, and a
+    half-written .so would poison every CDLL() that races it."""
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -87,7 +96,10 @@ def rle_decode_native(rle_str: str, h: int, w: int) -> Optional[np.ndarray]:
     lib = load_maskops()
     if lib is None:
         return None
-    raw = rle_str.encode("ascii")
+    try:
+        raw = rle_str.encode("ascii")
+    except UnicodeEncodeError:
+        return None  # let the pure-Python fallback handle exotic strings
     out = np.empty((h, w), np.uint8)
     max_counts = len(raw) + 8
     scratch = np.empty(max_counts, np.int64)

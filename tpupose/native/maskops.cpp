@@ -76,10 +76,4 @@ int rle_decode(const char* s, int len, int h, int w, uint8_t* out,
     return rle_counts_to_mask(scratch_counts, n, h, w, out);
 }
 
-// In-place boolean union: acc |= m over n bytes (ignore-mask assembly,
-// the inner loop of gen_ignore_mask).
-void mask_union(uint8_t* acc, const uint8_t* m, int64_t n) {
-    for (int64_t i = 0; i < n; ++i) acc[i] |= m[i];
-}
-
 }  // extern "C"

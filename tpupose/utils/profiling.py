@@ -40,8 +40,10 @@ def annotate(name: str):
 class StageTimer:
     """Accumulating wall-clock timers keyed by stage name.
 
-    ``block=True`` (default) blocks on the stage result so device work is
-    attributed to the right stage instead of the next host sync.
+    ``block=True`` (default) forces a real sync on the stage result
+    (``jax.device_get`` — on remote-device links ``block_until_ready`` can
+    return before the work completes, silently attributing device time to
+    the next stage) so device work lands in the right stage.
     """
 
     def __init__(self):
@@ -49,14 +51,14 @@ class StageTimer:
         self.counts: Dict[str, int] = {}
 
     @contextlib.contextmanager
-    def stage(self, name: str, result=None, block: bool = True):
+    def stage(self, name: str, block: bool = True):
         t0 = time.perf_counter()
         out = {}
         try:
             yield out
         finally:
             if block and "result" in out:
-                jax.block_until_ready(out["result"])
+                jax.device_get(out["result"])
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

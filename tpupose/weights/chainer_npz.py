@@ -80,7 +80,12 @@ def load_npz_params(path: str, params: FlaxParams, strict: bool = False):
             else:
                 missing.append(w_key)
             if b_key in flat:
-                conv["bias"] = flat.pop(b_key).astype(np.float32)
+                bias = flat.pop(b_key).astype(np.float32)
+                if bias.shape != conv["bias"].shape:
+                    raise ValueError(
+                        f"{layer_name}: npz bias {bias.shape} != "
+                        f"model {conv['bias'].shape}")
+                conv["bias"] = bias
                 loaded.append(b_key)
             else:
                 missing.append(b_key)
@@ -103,8 +108,15 @@ def save_npz_params(path: str, params: FlaxParams) -> None:
     np.savez(path, **flat)
 
 
-def params_from_npz_auto(path: str, model, insize: int = 368):
-    """Convenience: init ``model`` with zeros-shaped RNG then load ``path``."""
+def params_from_npz_auto(path: str, model, insize: int = 32):
+    """Convenience: init ``model`` then load ``path`` over it.
+
+    The init only supplies the parameter tree (conv shapes are input-size
+    independent) and the random fallback values for layers absent from the
+    npz — matching the reference conversion flow, where uncopied layers
+    keep their init (e.g. the ``conv5_5_CPM_L1`` quirk).  A small dummy
+    keeps this cheap: a 368px eager init is seconds of wasted compute per
+    detector (worse over a remote device link)."""
     import jax
     import jax.numpy as jnp
 
