@@ -53,8 +53,9 @@ class CropKeypointDetector:
         elif weights_file:
             self.variables, _ = params_from_npz_auto(weights_file, self.model)
         else:
-            dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3),
-                              jnp.float32)
+            # param shapes are input-size independent; small dummy = cheap
+            # eager init
+            dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
             self.variables = self.model.init(jax.random.PRNGKey(0), dummy)
         self._fns: Dict[tuple, object] = {}
 

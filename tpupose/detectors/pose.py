@@ -85,7 +85,9 @@ class PoseDetector:
         elif weights_file:
             self.variables, _ = params_from_npz_auto(weights_file, self.model)
         else:
-            dummy = jnp.zeros((1, 368, 368, 3), jnp.float32)
+            # param shapes are input-size independent; a small dummy keeps
+            # the eager init cheap (368px costs seconds per detector)
+            dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
             self.variables = self.model.init(jax.random.PRNGKey(0), dummy)
         # jit caches keyed by static geometry.
         self._fast_fns: Dict[tuple, object] = {}
