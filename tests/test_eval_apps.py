@@ -298,3 +298,25 @@ class TestEvaluatorProtocolRules:
                             AREA_RANGES["medium"])
         stats = _accumulate([e])
         assert stats["AP"] == pytest.approx(1.0)
+
+
+class TestEmptyImageFPs:
+    def test_detections_on_person_free_images_count_as_fps(self):
+        """All-images eval: hallucinations on empty images lower AP."""
+        rng = np.random.RandomState(12)
+        ev_clean = KeypointEvaluator()
+        ev_halluc = KeypointEvaluator()
+        for _ in range(3):
+            k = _random_kpts17(rng)
+            gts = [_gt_from_pose17(k)]
+            dt = {"keypoints": [float(v) for row in k for v in row],
+                  "score": 0.8, "area": 3000.0}
+            ev_clean.add_image([dt], gts)
+            ev_halluc.add_image([dt], gts)
+        # an empty image with a confident hallucination
+        fp = {"keypoints": [float(v) for v in
+                            _random_kpts17(rng).reshape(-1)],
+              "score": 0.99, "area": 3000.0}
+        ev_clean.add_image([], [])
+        ev_halluc.add_image([fp], [])
+        assert ev_halluc.summarize()["AP"] < ev_clean.summarize()["AP"]
