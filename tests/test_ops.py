@@ -140,3 +140,31 @@ def test_global_argmax_keypoints():
         assert int(xs[c]) == ref_x and int(ys[c]) == ref_y
         np.testing.assert_allclose(float(score[c]), sm.max(), atol=1e-5)
         assert bool(valid[c]) == (sm.max() > 0.1)
+
+
+def test_compute_optimal_size_reference_parity():
+    """Exact parity with the reference formula (pose_detector.py:57-73)
+    across many geometries, including np.round half-to-even cases."""
+    def reference(img_h, img_w, size, stride=8):
+        ratio = img_h / img_w
+        if img_h < img_w:
+            h = size
+            w = int(np.round(size / ratio))
+            if w % stride:
+                w += stride - w % stride
+        else:
+            w = size
+            h = int(np.round(size * ratio))
+            if h % stride:
+                h += stride - h % stride
+        return w, h
+
+    rng = np.random.RandomState(0)
+    cases = [(480, 640), (640, 480), (584, 584), (368, 368), (37, 91),
+             (91, 37), (720, 1280), (1080, 1920), (100, 300)]
+    cases += [(int(rng.randint(10, 2000)), int(rng.randint(10, 2000)))
+              for _ in range(200)]
+    for h, w in cases:
+        for target in (368, 320):
+            assert compute_optimal_size(h, w, target) == \
+                reference(h, w, target), (h, w, target)

@@ -84,23 +84,25 @@ def _connections_to_lists(conn: Connections):
 
 
 def test_connections_match_oracle():
-    rng = np.random.RandomState(7)
-    pafs, heatmaps = _render_scene(rng)
-    ref_peaks = oracle_peaks(heatmaps[:-1], CFG)
-    peaks = _peaks_from_oracle(ref_peaks, CFG.max_peaks_per_joint)
-    img_len = heatmaps.shape[2]
-
     limbs_a = jnp.asarray([a for a, _ in LIMBS], jnp.int32)
     limbs_b = jnp.asarray([b for _, b in LIMBS], jnp.int32)
-    got = _connections_to_lists(compute_connections(
-        jnp.asarray(pafs), peaks, img_len, CFG, limbs_a, limbs_b))
-    ref = oracle_connections(pafs, ref_peaks, img_len, CFG)
+    for seed in (7, 21, 22, 23, 24):
+        rng = np.random.RandomState(seed)
+        pafs, heatmaps = _render_scene(rng, n_people=1 + seed % 4)
+        ref_peaks = oracle_peaks(heatmaps[:-1], CFG)
+        peaks = _peaks_from_oracle(ref_peaks, CFG.max_peaks_per_joint)
+        img_len = heatmaps.shape[2]
 
-    for l in range(NUM_LIMBS):
-        assert len(got[l]) == len(ref[l]), f"limb {l}"
-        for (ga, gb, gs), (ra, rb, rs) in zip(got[l], ref[l]):
-            assert (ga, gb) == (ra, rb), f"limb {l}: {got[l]} vs {ref[l]}"
-            np.testing.assert_allclose(gs, rs, atol=1e-5)
+        got = _connections_to_lists(compute_connections(
+            jnp.asarray(pafs), peaks, img_len, CFG, limbs_a, limbs_b))
+        ref = oracle_connections(pafs, ref_peaks, img_len, CFG)
+
+        for l in range(NUM_LIMBS):
+            assert len(got[l]) == len(ref[l]), f"seed {seed} limb {l}"
+            for (ga, gb, gs), (ra, rb, rs) in zip(got[l], ref[l]):
+                assert (ga, gb) == (ra, rb), \
+                    f"seed {seed} limb {l}: {got[l]} vs {ref[l]}"
+                np.testing.assert_allclose(gs, rs, atol=1e-5)
 
 
 def test_grouping_matches_oracle():
