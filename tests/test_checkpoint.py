@@ -73,7 +73,8 @@ class TestCheckpointResume:
             "posenet", weights_file=path,
             cfg=InferenceConfig(img_size=32, heatmap_size=32))
         poses, scores = det(np.zeros((48, 64, 3), np.uint8))
-        assert poses.shape[1:] == (18, 3) or poses.shape == (0, 18, 3)
+        assert poses.shape[1:] == (18, 3)
+        assert len(poses) == len(scores)
 
 
 class TestRemat:

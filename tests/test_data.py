@@ -3,6 +3,9 @@ and a smoke run of the training CLI on a synthetic mini-COCO dataset."""
 
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
 
 import numpy as np
 import pytest
@@ -66,14 +69,12 @@ def mini_coco(tmp_path_factory):
         })
         ann_id += 1
     # a crowd annotation with uncompressed RLE on image 1
+    from test_native import _mask_to_counts
+
     h, w = 240, 320
     crowd_mask = np.zeros((h, w), np.uint8)
     crowd_mask[100:140, 250:300] = 1
-    flat = crowd_mask.T.reshape(-1)  # column-major
-    change = np.flatnonzero(np.diff(flat))
-    counts = np.diff(np.concatenate([[0], change + 1, [flat.size]]))
-    if flat[0] == 1:
-        counts = np.concatenate([[0], counts])
+    counts = _mask_to_counts(crowd_mask)
     annotations.append({
         "id": ann_id, "image_id": 1, "category_id": 1,
         "keypoints": [0] * 51, "num_keypoints": 0,
@@ -111,12 +112,24 @@ class TestCocoJson:
         assert mask.sum() == 40 * 50
 
     def test_compressed_rle_simple(self):
-        # 4x4 mask, first column set: counts [0,4,12] -> LEB chars
-        # encode via the inverse of the decoder for a smoke check
-        mask = decode_compressed_rle("04l0", 4, 4)  # counts 0,4,12
-        assert mask.shape == (4, 4)
-        assert mask[:, 0].sum() == 4
-        assert mask[:, 1:].sum() == 0
+        # 4x4 mask, first column set: counts [0, 4, 12].  "04<" is the
+        # LEB encoding (third count stored as delta 12-0=12 -> chr(12+48));
+        # verified to round-trip through BOTH the native decoder and the
+        # pure-Python fallback.
+        import tpupose.native as native_mod
+
+        for force_python in (False, True):
+            if force_python:
+                orig = native_mod.rle_decode_native
+                native_mod.rle_decode_native = lambda *a: None
+            try:
+                mask = decode_compressed_rle("04<", 4, 4)
+            finally:
+                if force_python:
+                    native_mod.rle_decode_native = orig
+            assert mask.shape == (4, 4)
+            assert mask[:, 0].sum() == 4
+            assert mask[:, 1:].sum() == 0
 
 
 class TestParseAnnotations:

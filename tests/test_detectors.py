@@ -70,7 +70,8 @@ class TestDegenerateInputs:
         for shape in [(1, 1, 3), (16, 9, 3), (9, 16, 3)]:
             img = np.zeros(shape, np.uint8)
             poses, scores = det(img)
-            assert poses.shape[1:] == (18, 3) or poses.shape == (0, 18, 3)
+            assert poses.shape[1:] == (18, 3)
+            assert len(poses) == len(scores)
 
     def test_empty_heatmaps_return_no_people(self):
         from test_eval_apps import _StubModel

@@ -81,47 +81,76 @@ def _run_both(conn_lists, k=4):
         (tuple(r["j"]), round(float(r["score"]), 4),
          round(float(r["count"]), 4)) for r in ref)
     assert got_rows == ref_rows
+    return got_rows
 
 
 class TestGroupingCases:
     def test_merge_disjoint_subsets(self):
-        """Limb 0 (neck-Rwaist) and limb 1 (Rwaist-Rknee) spawn/merge;
-        then limb 6 (neck-Rshoulder) attaches to the merged subset."""
+        """Reachable merge: S_x spawned at limb 15 {nose0, reye0}; S_y
+        assembled via limbs 7+9 {rsh0, relb0, rear0}; limb 17's
+        (reye0, rear0) matches S_x via ja and S_y via jb with NO shared
+        joint column -> case 2a merge."""
         conns = [[] for _ in range(19)]
-        conns[0] = [(0, 0, 1.0)]   # spawns subset A: neck0, rwaist0
-        conns[2] = [(1, 1, 1.0)]   # limb 2 rknee-rfoot spawns subset B
-        conns[1] = [(0, 1, 1.0)]   # rwaist0-rknee1 joins A and B -> merge
-        conns[6] = [(0, 2, 0.5)]   # attach rshoulder2 to merged subset
-        _run_both(conns)
+        conns[7] = [(0, 0, 1.0)]    # spawn S_y {rsh0, relb0}
+        conns[9] = [(0, 0, 0.9)]    # attach rear0 -> S_y (non-spawning ok)
+        conns[15] = [(0, 0, 0.8)]   # spawn S_x {nose0, reye0}
+        conns[17] = [(0, 0, 0.7)]   # bridge: merge S_x into S_y
+        subsets = _run_both(conns)
+        # merge happened: one combined subset holding joints from both
+        # sides, and the reference quirk added the bridge's connection
+        # score to the count column -> non-integer count
+        merged = [s for s in subsets
+                  if s[0][2] >= 0 and s[0][14] >= 0]  # rsh AND nose
+        assert len(merged) == 1
+        assert abs(merged[0][2] - round(merged[0][2])) > 1e-6
 
     def test_fill_overlapping_subsets(self):
-        """Two subsets share a joint column value -> case 2b fill path."""
+        """Reachable case-2b fill: S_x {neck0,rwaist0,nose1,reye1} and
+        S_y {neck1,rsh0,relb0,rear0,nose0,reye0} overlap in the neck/nose/
+        reye columns; limb 17's (reye1, rear0) matches S_x via ja and S_y
+        via jb -> fill attaches rear0 to S_x too."""
         conns = [[] for _ in range(19)]
-        conns[0] = [(0, 0, 1.0), (1, 1, 0.9)]  # two people spawned
-        # limb 14 neck-nose: neck0 belongs to person A; nose1 not yet
-        # anywhere; but craft a second connection so BOTH subsets match:
-        conns[14] = [(0, 1, 0.8), (1, 0, 0.7)]
-        # limb 15 nose-Reye: nose1 (in A now) and nose0 (in B) both match
-        conns[15] = [(1, 1, 0.6), (0, 0, 0.5)]
-        _run_both(conns)
+        conns[0] = [(0, 0, 1.0)]                  # spawn S_x {neck0,rwaist0}
+        conns[6] = [(1, 0, 1.0)]                  # spawn S_y {neck1,rsh0}
+        conns[7] = [(0, 0, 0.9)]                  # relb0 -> S_y
+        conns[9] = [(0, 0, 0.9)]                  # rear0 -> S_y
+        conns[14] = [(1, 0, 0.8), (0, 1, 0.7)]    # nose0->S_y, nose1->S_x
+        conns[15] = [(0, 0, 0.6), (1, 1, 0.5)]    # reye0->S_y, reye1->S_x
+        conns[17] = [(1, 0, 0.4)]                 # bridge -> FILL
+        subsets = _run_both(conns)
+        # fill proof: BOTH surviving subsets hold rear slot 0 (joint 16)
+        rears = sorted(s[0][16] for s in subsets)
+        assert rears == [0, 0], subsets
+
+    def test_three_plus_matches_ignored(self):
+        """>= 3 matching subsets -> the connection is dropped.  Extends the
+        fill scenario: after the limb-17 fill, S_x and S_y BOTH hold
+        rear0, and a third subset S_z holds reye2; a further (reye2,
+        rear0) connection then matches 3 subsets.  (The second limb-17
+        connection reuses rear0, which the 1:1 matcher would not emit —
+        fine here: both implementations must process the same list
+        identically, as the reference grouping would.)"""
+        base = [[] for _ in range(19)]
+        base[0] = [(0, 0, 1.0)]
+        base[6] = [(1, 0, 1.0)]
+        base[7] = [(0, 0, 0.9)]
+        base[9] = [(0, 0, 0.9)]
+        base[14] = [(1, 0, 0.8), (0, 1, 0.7), (2, 2, 0.65)]  # S_z {neck2,nose2}
+        base[15] = [(0, 0, 0.6), (1, 1, 0.5), (2, 2, 0.45)]  # reye2 -> S_z
+        base[17] = [(1, 0, 0.4)]
+        with_extra = [list(c) for c in base]
+        with_extra[17] = [(1, 0, 0.4), (2, 0, 0.3)]  # matches S_x,S_y,S_z
+        a = _run_both(base)
+        b = _run_both(with_extra)
+        assert a == b  # the 3-subset connection changed nothing
 
     def test_non_spawning_limb(self):
         """Shoulder-ear limbs (9, 13) never create new subsets."""
         conns = [[] for _ in range(19)]
         conns[9] = [(0, 0, 1.0)]
         conns[13] = [(1, 1, 1.0)]
-        _run_both(conns)
-
-    def test_three_plus_matches_ignored(self):
-        """>= 3 matching subsets -> connection ignored (ref drops it)."""
-        conns = [[] for _ in range(19)]
-        # three subsets all containing distinct neck slots
-        conns[0] = [(0, 0, 1.0), (1, 1, 0.9), (2, 2, 0.8)]
-        # limb 6 neck-Rshoulder with neck slot 0: matches subset 1 only...
-        # craft a case where 3 subsets share the rshoulder column:
-        conns[6] = [(0, 3, 1.0)]
-        conns[7] = [(3, 0, 1.0)]   # rshoulder3-relbow0 attaches
-        _run_both(conns)
+        subsets = _run_both(conns)
+        assert subsets == []
 
     def test_random_stress_vs_oracle(self):
         rng = np.random.RandomState(3)

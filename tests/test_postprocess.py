@@ -140,15 +140,18 @@ def test_grouping_matches_oracle():
             for r in ref_subsets
         ]
         assert len(got_rows) == len(ref_rows), f"trial {trial}"
-        # Order-insensitive comparison of kept subsets (active-slot order
-        # can differ from compacted order only in position, not content).
+        # Order-insensitive MULTISET comparison (each ref row consumed at
+        # most once, so duplicate-emission bugs cannot hide).
+        remaining = list(ref_rows)
         for gr in got_rows:
-            match = [
-                rr for rr in ref_rows
-                if rr[0] == gr[0]
-                and abs(rr[1] - gr[1]) < 1e-4 and abs(rr[2] - gr[2]) < 1e-4
-            ]
-            assert match, f"trial {trial}: {gr} not in {ref_rows}"
+            match = next(
+                (i for i, rr in enumerate(remaining)
+                 if rr[0] == gr[0]
+                 and abs(rr[1] - gr[1]) < 1e-4
+                 and abs(rr[2] - gr[2]) < 1e-4), None)
+            assert match is not None, \
+                f"trial {trial}: {gr} not in {remaining}"
+            remaining.pop(match)
 
 
 def test_full_postprocess_matches_oracle_pipeline():
