@@ -320,3 +320,62 @@ class TestEmptyImageFPs:
         ev_clean.add_image([], [])
         ev_halluc.add_image([fp], [])
         assert ev_halluc.summarize()["AP"] < ev_clean.summarize()["AP"]
+
+
+class TestCameraFaceMode:
+    def test_face_video_pipeline(self, tmp_path, monkeypatch):
+        """Haar-cascade face mode runs end-to-end on a video file."""
+        import tpupose.detectors as det_mod
+        from tpupose.apps import camera
+        from tpupose.detectors import FaceDetector
+
+        if not hasattr(CV2, "CascadeClassifier"):
+            pytest.skip("cv2 build lacks objdetect (CascadeClassifier)")
+
+        video = str(tmp_path / "in.mp4")
+        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (124, 92))
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            wr.write(rng.randint(0, 255, (92, 124, 3), dtype=np.uint8))
+        wr.release()
+
+        stub = FaceDetector("facenet", cfg=FaceConfig(img_size=64))
+        monkeypatch.setattr(det_mod, "FaceDetector",
+                            lambda *a, **kw: stub)
+        out = str(tmp_path / "out.mp4")
+        camera.main(["face", "--video", video, "--headless",
+                     "--save", out, "--max-frames", "3"])
+        cap = CV2.VideoCapture(out)
+        assert int(cap.get(CV2.CAP_PROP_FRAME_COUNT)) == 3
+        cap.release()
+
+
+    def test_face_video_pipeline_pose_source(self, tmp_path, monkeypatch):
+        """--face-source pose: faces located via the pose network (no
+        Haar objdetect needed)."""
+        import tpupose.detectors as det_mod
+        from tpupose.apps import camera
+        from tpupose.detectors import FaceDetector
+
+        video = str(tmp_path / "in.mp4")
+        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (124, 92))
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            wr.write(rng.randint(0, 255, (92, 124, 3), dtype=np.uint8))
+        wr.release()
+
+        face_stub = FaceDetector("facenet", cfg=FaceConfig(img_size=64))
+        pose_stub = _stub_pose_detector()
+        monkeypatch.setattr(det_mod, "FaceDetector",
+                            lambda *a, **kw: face_stub)
+        monkeypatch.setattr(det_mod, "PoseDetector",
+                            lambda *a, **kw: pose_stub)
+        out = str(tmp_path / "out.mp4")
+        camera.main(["face", "--video", video, "--headless",
+                     "--save", out, "--max-frames", "3",
+                     "--face-source", "pose"])
+        cap = CV2.VideoCapture(out)
+        assert int(cap.get(CV2.CAP_PROP_FRAME_COUNT)) == 3
+        cap.release()

@@ -153,3 +153,19 @@ def test_posenet_matches_torch_oracle():
                                    rtol=1e-3, atol=atol_paf)
         np.testing.assert_allclose(np.asarray(heatmaps[s]), ref_hm,
                                    rtol=1e-3, atol=atol_hm)
+
+
+def test_bf16_compute_dtype():
+    """bf16 compute path: activations ride bf16, outputs return f32."""
+    import jax.numpy as jnp
+
+    model = CocoPoseNet(dtype=jnp.bfloat16)
+    variables = _init(model, insize=32)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3),
+                    jnp.float32)
+    pafs, heatmaps = model.apply(variables, x)
+    assert pafs.dtype == jnp.float32  # stack_stages upcasts for the loss
+    assert heatmaps.shape == (6, 1, 4, 4, 19)
+    # params stay f32
+    k = variables["params"]["stem"]["conv1_1"]["conv"]["kernel"]
+    assert k.dtype == jnp.float32

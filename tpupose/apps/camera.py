@@ -158,18 +158,59 @@ def run_pose(args):
         writer.release()
 
 
-def run_face(args):
-    """Haar-cascade face detect -> crop -> FaceNet keypoints
-    (ref ``camera_face_demo.py:26-59``; the cascade file ships with
-    OpenCV)."""
+def _haar_face_crops(cascade, img):
+    """Haar rects -> (crop, left_top) list (ref ``camera_face_demo.py``)."""
     import cv2
 
-    from tpupose.detectors import FaceDetector, crop_face_haar
+    from tpupose.detectors import crop_face_haar
+
+    rects = cascade.detectMultiScale(
+        cv2.cvtColor(img, cv2.COLOR_BGR2GRAY), scaleFactor=1.1,
+        minNeighbors=5, minSize=(30, 30))
+    return [crop_face_haar(img, rect) for rect in rects]
+
+
+def _pose_face_crops(pose_detector, img):
+    """Pose-driven face regions: nose-anchored anthropometric crops (the
+    demo cascade's face leg, ``pose_detector.py:354-369``) — works with
+    OpenCV builds that lack the Haar objdetect module."""
+    from tpupose.detectors import crop_face, get_unit_length
+
+    poses, _ = pose_detector(img)
+    crops = []
+    for person_pose in poses:
+        crop, bbox = crop_face(img, person_pose, get_unit_length(person_pose))
+        if crop is not None:
+            crops.append((crop, (bbox[0], bbox[1])))
+    return crops
+
+
+def run_face(args):
+    """Face-keypoint streaming: faces located by a Haar cascade
+    (ref ``camera_face_demo.py:26-59``) or by the pose network's face
+    crops (``--face-source pose``), then FaceNet per crop."""
+    import cv2
+
+    from tpupose.detectors import FaceDetector
     from tpupose.detectors.draw import draw_face_keypoints
 
     detector = FaceDetector("facenet", weights_file=args.weights)
-    cascade = cv2.CascadeClassifier(
-        cv2.data.haarcascades + "haarcascade_frontalface_alt.xml")
+    if args.face_source == "haar":
+        if not hasattr(cv2, "CascadeClassifier"):
+            raise RuntimeError(
+                "this OpenCV build has no objdetect module "
+                "(cv2.CascadeClassifier); install full opencv-python or "
+                "use --face-source pose")
+        cascade = cv2.CascadeClassifier(
+            cv2.data.haarcascades + "haarcascade_frontalface_alt.xml")
+        find_crops = lambda img: _haar_face_crops(cascade, img)  # noqa
+    else:
+        from tpupose.detectors import PoseDetector
+
+        pose_detector = PoseDetector("posenet",
+                                     weights_file=args.pose_weights)
+        find_crops = lambda img: _pose_face_crops(pose_detector, img)  # noqa
+
     cap = open_capture(args)
     emit = writer = None
     n_frames = 0
@@ -178,11 +219,7 @@ def run_face(args):
         if not ret:
             break
         res = img.copy()
-        rects = cascade.detectMultiScale(
-            cv2.cvtColor(img, cv2.COLOR_BGR2GRAY), scaleFactor=1.1,
-            minNeighbors=5, minSize=(30, 30))
-        for rect in rects:
-            crop, left_top = crop_face_haar(img, rect)
+        for crop, left_top in find_crops(img):
             keypoints = detector(crop)
             res = draw_face_keypoints(res, keypoints, left_top)
         if emit is None:
@@ -208,6 +245,12 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--batch", type=int, default=1,
                    help="pose mode: frames per fused device batch")
+    p.add_argument("--face-source", default="haar",
+                   choices=("haar", "pose"),
+                   help="face mode: locate faces via Haar cascade or via "
+                        "the pose network's nose-anchored crops")
+    p.add_argument("--pose-weights",
+                   help="face mode with --face-source pose: posenet .npz")
     args = p.parse_args(argv)
     (run_pose if args.mode == "pose" else run_face)(args)
 
