@@ -20,6 +20,13 @@ import argparse
 import time
 
 
+def _warn_if_random(weights, what: str) -> None:
+    if not weights:
+        print(f"WARNING: no weights given for {what} — running a "
+              "randomly-initialized network (smoke-test mode, outputs "
+              "are meaningless)", flush=True)
+
+
 def open_capture(args):
     import cv2
 
@@ -69,6 +76,7 @@ def run_pose_batched(args):
 
     from tpupose.detectors import PoseDetector, draw_person_pose
 
+    _warn_if_random(args.weights, "posenet")
     detector = PoseDetector("posenet", weights_file=args.weights)
     cap = open_capture(args)
     emit = writer = None
@@ -114,6 +122,7 @@ def run_pose(args):
     if args.batch > 1:
         return run_pose_batched(args)
 
+    _warn_if_random(args.weights, "posenet")
     detector = PoseDetector("posenet", weights_file=args.weights)
     cap = open_capture(args)
 
@@ -194,6 +203,7 @@ def run_face(args):
     from tpupose.detectors import FaceDetector
     from tpupose.detectors.draw import draw_face_keypoints
 
+    _warn_if_random(args.weights, "facenet")
     detector = FaceDetector("facenet", weights_file=args.weights)
     if args.face_source == "haar":
         if not hasattr(cv2, "CascadeClassifier"):
@@ -219,8 +229,10 @@ def run_face(args):
         if not ret:
             break
         res = img.copy()
-        for crop, left_top in find_crops(img):
-            keypoints = detector(crop)
+        located = find_crops(img)
+        # one batched forward for all faces in the frame
+        all_keypoints = detector.detect_batch([c for c, _ in located])
+        for (crop, left_top), keypoints in zip(located, all_keypoints):
             res = draw_face_keypoints(res, keypoints, left_top)
         if emit is None:
             emit, writer = make_sink(args, img.shape, source_fps(cap))

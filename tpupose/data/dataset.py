@@ -138,9 +138,16 @@ class CocoPoseDataset:
         """
         img_id = self.img_ids[index]
         anns = self._valid_annotations(img_id)
+        retries = 0
         while anns is None:
+            if retries > 10 * len(self.img_ids) + 100:
+                raise RuntimeError(
+                    "no image in the dataset has annotations passing the "
+                    f"min_keypoints={self.cfg.min_keypoints}/"
+                    f"min_area={self.cfg.min_area} filter")
             img_id = self.img_ids[self._rng.randint(len(self.img_ids))]
             anns = self._valid_annotations(img_id)
+            retries += 1
 
         img = self.load_image(img_id)
         ignore_mask = self.load_ignore_mask(img_id, img.shape[:2])

@@ -21,16 +21,18 @@ import numpy as np
 _WORKER_DATASET = None
 
 
-def _worker_init(dataset):
+def _worker_init(dataset, seed, rank_counter):
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
     # Every spawned worker receives a pickled copy of the dataset carrying
-    # the SAME RandomState — reseed per-process or all workers would draw
-    # identical augmentation streams (correlated batches for the whole run).
-    import os
-
+    # the SAME RandomState — reseed per worker or they would all draw
+    # identical augmentation streams.  The seed derives from (loader seed,
+    # worker rank), not the pid, so multi-worker runs stay reproducible.
+    with rank_counter.get_lock():
+        rank = rank_counter.value
+        rank_counter.value += 1
     _WORKER_DATASET._rng = np.random.RandomState(
-        (os.getpid() * 2654435761) % (2 ** 31))
+        (seed * 100003 + rank * 7919 + 1) % (2 ** 31))
 
 
 def _worker_sample(index: int):
@@ -65,12 +67,18 @@ class BatchLoader:
     spawn-start-method bug workaround).
     """
 
-    def __init__(self, dataset, batch_size: int, max_persons: int = 16,
+    def __init__(self, dataset, batch_size: int, max_persons: int = None,
                  shuffle: bool = True, repeat: bool = True,
                  num_workers: int = 0, prefetch: int = 2, seed: int = 0,
                  mesh=None):
         self.dataset = dataset
         self.batch_size = batch_size
+        if max_persons is None:
+            # derive from the dataset's config: the dataset masks out
+            # persons beyond ITS max_persons, so a mismatched loader cap
+            # would silently truncate GT without the mask protection
+            max_persons = getattr(getattr(dataset, "cfg", None),
+                                  "max_persons", 16)
         self.max_persons = max_persons
         self.shuffle = shuffle
         self.repeat = repeat
@@ -83,8 +91,9 @@ class BatchLoader:
             import multiprocessing as mp
 
             ctx = mp.get_context("spawn")
-            self._pool = ctx.Pool(num_workers, initializer=_worker_init,
-                                  initargs=(dataset,))
+            self._pool = ctx.Pool(
+                num_workers, initializer=_worker_init,
+                initargs=(dataset, seed, ctx.Value("i", 0)))
 
     def _index_stream(self) -> Iterator[int]:
         n = len(self.dataset)
@@ -166,6 +175,11 @@ class BatchLoader:
                               flush=True)
                     else:
                         out.put(self._assemble(buf))
+            except BaseException as e:  # noqa: BLE001
+                # surface feeder failures to the consumer — swallowing
+                # them would make an infinite training loader terminate
+                # "successfully" mid-run
+                out.put(e)
             finally:
                 out.put(stop)
 
@@ -175,6 +189,8 @@ class BatchLoader:
             item = out.get()
             if item is stop:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def close(self):

@@ -62,11 +62,13 @@ class CropKeypointDetector:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _to_keypoints(xs, ys, score, valid, scale=(1.0, 1.0)):
-        """(C,) device outputs -> list of [x, y, conf] or None per channel
-        (the reference's per-keypoint threshold gating)."""
-        xs, ys = np.asarray(xs), np.asarray(ys)
-        score, valid = np.asarray(score), np.asarray(valid)
+    def _to_keypoints(outputs, scale=(1.0, 1.0)):
+        """(xs, ys, score, valid) device outputs -> list of [x, y, conf] or
+        None per channel (the reference's per-keypoint threshold gating).
+
+        One ``jax.device_get`` for the whole tuple — per-array fetches
+        would issue four sequential round trips per crop."""
+        xs, ys, score, valid = jax.device_get(outputs)
         sx, sy = scale
         return [
             [int(round(xs[i] * sx)), int(round(ys[i] * sy)),
@@ -103,21 +105,6 @@ class CropKeypointDetector:
             self._fns[key] = jax.jit(fn)
         return self._fns[key]
 
-    def _single_fn(self, crop_hw, flip: bool):
-        """Fused forward+tail for one crop (single host->device trip)."""
-        key = ("single", crop_hw, flip)
-        if key not in self._fns:
-            model = self.model
-            tail = self._tail_fn(crop_hw, flip)
-
-            def fn(variables, img_u8):
-                x = img_u8.astype(jnp.float32) / 256.0 - 0.5
-                heatmaps = model.apply(variables, x[None])
-                return tail(heatmaps[-1, 0])
-
-            self._fns[key] = jax.jit(fn)
-        return self._fns[key]
-
     def _batch_forward_fn(self, batch: int):
         key = ("batch", batch)
         if key not in self._fns:
@@ -135,16 +122,14 @@ class CropKeypointDetector:
 
     def detect_crop(self, crop: np.ndarray, flip: bool = False):
         """One crop -> keypoint list (flip: mirror input, un-mirror the
-        heatmaps on device — the left-hand path)."""
-        import cv2
+        heatmaps on device — the left-hand path).
 
-        if flip:
-            crop = cv2.flip(crop, 1)
-        target_hw, scale = self._tail_target(crop.shape[:2])
-        resized = cv2.resize(crop, (self.cfg.img_size, self.cfg.img_size))
-        fn = self._single_fn(target_hw, flip)
-        return self._to_keypoints(
-            *fn(self.variables, jnp.asarray(resized)), scale=scale)
+        Runs as a batch of one: the net forward is keyed on batch size
+        only, so varying crop geometries recompile just the small
+        resize+argmax tail, never the ~50-conv network (fusing forward+
+        tail per geometry made streaming recompile the whole net per
+        frame)."""
+        return self.detect_crops([crop], [flip])[0]
 
     def detect_crops(self, crops, flips=None):
         """All crops through ONE batched forward (the reference runs crops
@@ -167,5 +152,5 @@ class CropKeypointDetector:
         for i, (crop, flip) in enumerate(zip(crops, flips)):
             target_hw, scale = self._tail_target(crop.shape[:2])
             tail = self._tail_fn(target_hw, flip)
-            out.append(self._to_keypoints(*tail(heatmaps[i]), scale=scale))
+            out.append(self._to_keypoints(tail(heatmaps[i]), scale=scale))
         return out

@@ -158,8 +158,12 @@ def crop_person(img: np.ndarray, pose: np.ndarray, unit_length: float):
             elif joint[0] > right_pos:
                 right_pos = joint[0]
 
-    if top_joint_index >= len(_TOP_PADDING_RATIO):
-        return None, None  # no visible joints
+    if (top_joint_index >= len(_TOP_PADDING_RATIO)
+            or bottom_joint_index >= len(_BOTTOM_PADDING_RATIO)):
+        # no visible joints, or every visible joint won the top-priority
+        # branch leaving the bottom sentinel in place (e.g. only nose +
+        # right eye/ear visible) — the reference would IndexError here
+        return None, None
     bbox = (
         int(left_pos - 0.3 * unit_length),
         int(top_pos - _TOP_PADDING_RATIO[top_joint_index] * unit_length),

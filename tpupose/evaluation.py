@@ -195,7 +195,9 @@ def _accumulate(per_image: List[Optional[_ImgEval]]) -> Dict[str, float]:
     recall_thrs = np.linspace(0, 1, 101)
     n_gt = sum(e.n_gt for e in evals)
     if n_gt == 0:
-        return {"AP": float("nan"), "AR": float("nan")}
+        # official cocoeval reports -1 for undefined metrics; keep the
+        # key schema identical to the populated case
+        return {"AP": -1.0, "AP50": -1.0, "AP75": -1.0, "AR": -1.0}
     scores = np.concatenate([e.dt_scores for e in evals]) if evals \
         else np.zeros(0)
     order = np.argsort(-scores, kind="mergesort")
