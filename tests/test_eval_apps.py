@@ -221,6 +221,50 @@ class TestCameraApp:
         cap.release()
         assert n >= 3
 
+    def test_video_pipeline_precise_streaming(self, tmp_path, monkeypatch):
+        """--precise: the multi-scale pipeline runs through the same
+        submit/collect software pipelining as the fast path (the
+        reference's precise mode is strictly serial)."""
+        import tpupose.detectors as det_mod
+        from tpupose.apps import camera
+
+        video = str(tmp_path / "in.mp4")
+        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (64, 48))
+        rng = np.random.RandomState(0)
+        for _ in range(4):
+            wr.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+        wr.release()
+
+        stub = _stub_pose_detector(precise=True)
+        monkeypatch.setattr(det_mod, "PoseDetector",
+                            lambda *a, **kw: stub)
+        out = str(tmp_path / "out.mp4")
+        camera.main(["pose", "--video", video, "--headless", "--precise",
+                     "--save", out, "--max-frames", "3"])
+        cap = CV2.VideoCapture(out)
+        n = int(cap.get(CV2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        assert n >= 2
+
+    def test_precise_rejects_batch_mode(self, tmp_path):
+        from tpupose.apps import camera
+
+        with pytest.raises(SystemExit):
+            camera.main(["pose", "--video", "x.mp4", "--headless",
+                         "--precise", "--batch", "2"])
+
+    def test_haar_cascade_path_prefers_vendored_file(self):
+        """The reference ships models/haarcascade_frontalface_alt.xml; the
+        vendored copy restores Haar face mode on headless cv2 builds that
+        lack cv2.data.haarcascades."""
+        from tpupose.apps.camera import haar_cascade_path
+
+        path = haar_cascade_path()
+        assert os.path.exists(path)
+        assert "tpupose" in path and path.endswith(
+            "haarcascade_frontalface_alt.xml")
+
 
 class TestBatchedCrops:
     def test_face_batch_matches_single(self):

@@ -120,10 +120,14 @@ def run_pose(args):
     from tpupose.detectors import PoseDetector, draw_person_pose
 
     if args.batch > 1:
+        if args.precise:
+            raise SystemExit("--precise is streaming-mode only "
+                             "(incompatible with --batch)")
         return run_pose_batched(args)
 
     _warn_if_random(args.weights, "posenet")
-    detector = PoseDetector("posenet", weights_file=args.weights)
+    detector = PoseDetector("posenet", weights_file=args.weights,
+                            precise=args.precise)
     cap = open_capture(args)
 
     emit = writer = None
@@ -165,6 +169,27 @@ def run_pose(args):
     cap.release()
     if writer is not None:
         writer.release()
+
+
+def haar_cascade_path() -> str:
+    """Locate ``haarcascade_frontalface_alt.xml``: the vendored copy in
+    ``tpupose/assets/`` first (the reference ships the same data file at
+    ``models/haarcascade_frontalface_alt.xml``; headless OpenCV builds lack
+    ``cv2.data.haarcascades``), then the cv2-installed one."""
+    import os
+
+    vendored = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets",
+        "haarcascade_frontalface_alt.xml")
+    if os.path.exists(vendored):
+        return vendored
+    import cv2
+
+    data_dir = getattr(getattr(cv2, "data", None), "haarcascades", None)
+    if data_dir:
+        return os.path.join(data_dir, "haarcascade_frontalface_alt.xml")
+    raise FileNotFoundError("haarcascade_frontalface_alt.xml not found "
+                            "(vendored asset missing and cv2.data absent)")
 
 
 def _haar_face_crops(cascade, img):
@@ -211,8 +236,7 @@ def run_face(args):
                 "this OpenCV build has no objdetect module "
                 "(cv2.CascadeClassifier); install full opencv-python or "
                 "use --face-source pose")
-        cascade = cv2.CascadeClassifier(
-            cv2.data.haarcascades + "haarcascade_frontalface_alt.xml")
+        cascade = cv2.CascadeClassifier(haar_cascade_path())
         find_crops = lambda img: _haar_face_crops(cascade, img)  # noqa
     else:
         from tpupose.detectors import PoseDetector
@@ -257,6 +281,10 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--batch", type=int, default=1,
                    help="pose mode: frames per fused device batch")
+    p.add_argument("--precise", action="store_true",
+                   help="pose mode: multi-scale precise inference, "
+                        "software-pipelined across frames (the reference's "
+                        "precise mode is strictly serial)")
     p.add_argument("--face-source", default="haar",
                    choices=("haar", "pose"),
                    help="face mode: locate faces via Haar cascade or via "

@@ -118,14 +118,23 @@ class PoseDetector:
         return self._fast_fns[key]
 
     def submit(self, orig_img: np.ndarray):
-        """Dispatch the fast-path device computation WITHOUT blocking on the
-        result — returns an opaque pending handle for ``collect``.
+        """Dispatch the device computation for one frame WITHOUT blocking
+        on the result — returns an opaque pending handle for ``collect``.
 
         This is the streaming-pipeline API (SURVEY.md section 7 step 6): a
         capture loop can overlap host capture/draw of frame N with device
         compute of frame N+1 (JAX dispatch is asynchronous; only
-        ``collect`` forces the device->host transfer).
+        ``collect`` forces the device->host transfer).  Routes to the
+        precise multi-scale pipeline when the detector was built with
+        ``precise=True`` — the reference's precise mode is strictly serial
+        (``pose_detector.py:433-482``); here its per-scale dispatches for
+        frame N+1 queue behind frame N's, hiding dispatch latency.
         """
+        if self.precise:
+            return self._submit_precise(orig_img)
+        return self._submit_fast(orig_img)
+
+    def _submit_fast(self, orig_img: np.ndarray):
         import cv2
 
         orig_h, orig_w = orig_img.shape[:2]
@@ -312,6 +321,9 @@ class PoseDetector:
         return self._scale_fns[key]
 
     def detect_precise(self, orig_img: np.ndarray):
+        return self.collect(self._submit_precise(orig_img))
+
+    def _submit_precise(self, orig_img: np.ndarray):
         import cv2
         import math
 
@@ -350,8 +362,7 @@ class PoseDetector:
 
         fn = self._avg_postprocess_fn(post_hw, len(self.cfg.scales))
         result = fn(paf_list, hm_list)
-        return self._emit(result, scale_x=orig_w / post_hw[1],
-                          scale_y=orig_h / post_hw[0])
+        return (result, orig_w / post_hw[1], orig_h / post_hw[0])
 
     # ------------------------------------------------------------------
 
