@@ -67,6 +67,50 @@ def oracle_candidate_connections(paf, cand_a, cand_b, img_len,
     return sorted(cands, key=lambda c: c[2], reverse=True)
 
 
+def oracle_full_pipeline(pafs, heatmaps, cfg: InferenceConfig,
+                         scale_x=1.0, scale_y=1.0):
+    """The complete reference postprocess on host, dynamic shapes end to
+    end: peaks -> candidate connections -> greedy matching -> grouping ->
+    pose arrays scaled to original pixels (``pose_detector.py:508-517``).
+
+    pafs: (38, H, W); heatmaps: (19, H, W) — the maps at postprocess
+    resolution (as returned by ``PoseDetector.compute_maps``).
+    Returns (poses (N, 18, 3) float64, scores (N,), peaks_per_joint).
+    Raises if any joint's peak count exceeds the static capacity — the
+    device table would silently truncate there, so the comparison would
+    be invalid rather than failing loudly.
+    """
+    from tpupose.ops.grouping import group_keypoints_numpy
+
+    img_len = pafs.shape[2]
+    peaks = oracle_peaks(heatmaps[:-1], cfg)
+    k = cfg.max_peaks_per_joint
+    counts = [len(p) for p in peaks]
+    if max(counts) > k:
+        raise AssertionError(
+            f"oracle peak counts {counts} exceed static capacity K={k}; "
+            "recalibrate the harness weights")
+    conns = oracle_connections(pafs, peaks, img_len, cfg)
+    peak_scores = np.zeros((len(peaks), k), np.float32)
+    for j, plist in enumerate(peaks):
+        for i, (_, _, s) in enumerate(plist):
+            peak_scores[j, i] = s
+    subsets = group_keypoints_numpy(conns, peak_scores, cfg)
+    poses, scores = [], []
+    for s in subsets:
+        pose = np.zeros((len(peaks), 3), np.float64)
+        for j in range(len(peaks)):
+            slot = s["j"][j]
+            if slot >= 0:
+                x, y, _ = peaks[j][slot]
+                pose[j] = (x * scale_x, y * scale_y, 2)
+        poses.append(pose)
+        scores.append(float(s["score"]))
+    poses = (np.stack(poses) if poses
+             else np.zeros((0, len(peaks), 3), np.float64))
+    return poses, np.asarray(scores, np.float64), peaks
+
+
 def oracle_connections(pafs, peaks_per_joint, img_len, cfg: InferenceConfig):
     """pafs: (38, H, W).  Returns per-limb list of accepted
     (slot_a, slot_b, score) in greedy order."""

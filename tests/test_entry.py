@@ -33,6 +33,38 @@ def test_entry_traces_with_expected_shapes():
     assert heatmaps.shape == (6, 1, 46, 46, 19)
 
 
+def test_bench_main_executes_and_emits_contract_line(monkeypatch, capsys,
+                                                     tmp_path):
+    """CPU smoke of bench.main with a stub detector: the timing loops, the
+    device breakdown, and the one-JSON-line stdout contract all execute."""
+    import json
+
+    import numpy as np
+    import test_eval_apps
+
+    import bench
+    import tpupose.detectors as det_mod
+
+    stub = test_eval_apps._stub_pose_detector(precise=True)
+    monkeypatch.setattr(det_mod, "PoseDetector", lambda *a, **kw: stub)
+    tiny = np.random.RandomState(0).randint(0, 255, (48, 64, 3),
+                                            dtype=np.uint8)
+    monkeypatch.setattr(bench, "load_test_image", lambda: tiny)
+
+    detail_out = str(tmp_path / "details.json")
+    bench.main(["--frames", "2", "--warmup", "1", "--detail",
+                "--detail-out", detail_out])
+
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, "bench must print exactly ONE stdout line"
+    rec = json.loads(out[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["value"] > 0
+    details = json.load(open(detail_out))
+    assert details["per_frame"]["device_ms_total"] > 0
+    assert len(details["scales"]) == len(stub.cfg.scales)
+
+
 def test_dryrun_inprocess_call_no_env():
     """Driver convention: import the module, call the function, no env.
 

@@ -98,24 +98,66 @@ class PoseDetector:
     # fast single-scale path (ref ``pose_detector.py:484-517``)
     # ------------------------------------------------------------------
 
+    def _fast_maps_traced(self, variables, img_u8, map_hw):
+        """Traced body shared by the fast postprocess program and
+        ``compute_maps``: forward + Chainer-parity resize of the last
+        stage's maps (ref ``pose_detector.py:494-502``).  Returns
+        channel-first (38, h, w) pafs and (19, h, w) heatmaps."""
+        x = preprocess_u8(img_u8)[None]
+        pafs, heatmaps = self.model.apply(variables, x)
+        paf = resize_chainer(pafs[-1, 0], map_hw)       # (h, w, 38)
+        hm = resize_chainer(heatmaps[-1, 0], map_hw)    # (h, w, 19)
+        return (jnp.transpose(paf, (2, 0, 1)),
+                jnp.transpose(hm, (2, 0, 1)))
+
     def _fast_fn(self, in_hw: Tuple[int, int], map_hw: Tuple[int, int]):
         key = (in_hw, map_hw)
         if key not in self._fast_fns:
             cfg = self.cfg
-            model = self.model
 
             def fn(variables, img_u8):
-                x = preprocess_u8(img_u8)[None]
-                pafs, heatmaps = model.apply(variables, x)
-                paf = resize_chainer(pafs[-1, 0], map_hw)       # (h, w, 38)
-                hm = resize_chainer(heatmaps[-1, 0], map_hw)    # (h, w, 19)
+                paf, hm = self._fast_maps_traced(variables, img_u8, map_hw)
                 return postprocess_pose(
-                    jnp.transpose(paf, (2, 0, 1)),
-                    jnp.transpose(hm, (2, 0, 1)),
-                    jnp.float32(map_hw[1]), cfg)
+                    paf, hm, jnp.float32(map_hw[1]), cfg)
 
             self._fast_fns[key] = jax.jit(fn)
         return self._fast_fns[key]
+
+    def compute_maps(self, orig_img: np.ndarray):
+        """The exact (pafs, heatmaps) tensors the device postprocess
+        consumes for this frame — channel-first, at postprocess
+        resolution — plus the postprocess->original scale factors.
+
+        The map computation is the same traced code the detection
+        programs run (``_fast_maps_traced`` / ``_device_scale_fn``), so
+        there is no drift between what this returns and what ``__call__``
+        postprocesses.  Used by the golden-parity harness to feed the
+        NumPy oracle pipeline, and handy for map-level debugging."""
+        import cv2
+
+        orig_h, orig_w = orig_img.shape[:2]
+        if self.precise:
+            paf_list, hm_list, post_hw = self._precise_scale_maps(orig_img)
+            n = len(self.cfg.scales)
+            key = ("avg_maps", post_hw, n)
+            if key not in self._avg_fns:
+                self._avg_fns[key] = jax.jit(
+                    lambda pl, hl: (sum(pl) / n, sum(hl) / n))
+            paf, hm = self._avg_fns[key](paf_list, hm_list)
+            return ((jnp.transpose(paf, (2, 0, 1)),
+                     jnp.transpose(hm, (2, 0, 1))),
+                    (orig_w / post_hw[1], orig_h / post_hw[0]))
+        input_w, input_h = compute_optimal_size(
+            orig_h, orig_w, self.cfg.img_size, self.cfg.downscale)
+        map_w, map_h = compute_optimal_size(
+            orig_h, orig_w, self.cfg.heatmap_size, self.cfg.downscale)
+        key = ("maps", (input_h, input_w), (map_h, map_w))
+        if key not in self._fast_fns:
+            self._fast_fns[key] = jax.jit(
+                lambda v, i: self._fast_maps_traced(v, i, (map_h, map_w)))
+        resized = cv2.resize(orig_img, (input_w, input_h))
+        maps = self._fast_fns[key](self.variables, jnp.asarray(resized))
+        return maps, (orig_w / map_w, orig_h / map_h)
 
     def submit(self, orig_img: np.ndarray):
         """Dispatch the device computation for one frame WITHOUT blocking
@@ -324,6 +366,16 @@ class PoseDetector:
         return self.collect(self._submit_precise(orig_img))
 
     def _submit_precise(self, orig_img: np.ndarray):
+        orig_h, orig_w = orig_img.shape[:2]
+        paf_list, hm_list, post_hw = self._precise_scale_maps(orig_img)
+        fn = self._avg_postprocess_fn(post_hw, len(self.cfg.scales))
+        result = fn(paf_list, hm_list)
+        return (result, orig_w / post_hw[1], orig_h / post_hw[0])
+
+    def _precise_scale_maps(self, orig_img: np.ndarray):
+        """Dispatch the per-scale forward+resize programs; returns the
+        per-scale original-resolution map lists (device arrays) and the
+        postprocess resolution."""
         import cv2
         import math
 
@@ -359,10 +411,7 @@ class PoseDetector:
                 paf, hm = fn(self.variables, jnp.asarray(padded))
             paf_list.append(paf)
             hm_list.append(hm)
-
-        fn = self._avg_postprocess_fn(post_hw, len(self.cfg.scales))
-        result = fn(paf_list, hm_list)
-        return (result, orig_w / post_hw[1], orig_h / post_hw[0])
+        return paf_list, hm_list, post_hw
 
     # ------------------------------------------------------------------
 

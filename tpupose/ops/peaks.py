@@ -74,9 +74,13 @@ def extract_peaks(mask: jnp.ndarray, smoothed: jnp.ndarray,
     flat_score = smoothed.reshape(j, hw)
 
     # Key: valid peaks get (hw - scan_idx) > 0, invalid get 0; top_k then
-    # yields the first K peaks in ascending scan order.
+    # yields the first K peaks in ascending scan order.  f32 keys when the
+    # values fit a float exactly (hw < 2^24): TPU's f32 top_k is ~5x the
+    # int32 path (2.6 vs 12.9 ms at 18x584x584 on a v5e) with identical
+    # selections.
     scan_idx = jnp.arange(hw, dtype=jnp.int32)
-    key = jnp.where(flat_mask, hw - scan_idx, 0)
+    key_dtype = jnp.float32 if hw < (1 << 24) else jnp.int32
+    key = jnp.where(flat_mask, hw - scan_idx, 0).astype(key_dtype)
     k_eff = min(max_peaks, hw)  # degenerate tiny maps: top_k needs k <= hw
     top_key, top_idx = jax.lax.top_k(key, k_eff)  # (J, k_eff)
     if k_eff < max_peaks:
