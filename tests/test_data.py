@@ -228,9 +228,53 @@ class TestTrainCLI:
         ])
         assert os.path.exists(os.path.join(out, "log"))
         assert os.path.exists(os.path.join(out, "params.json"))
+        # dump_graph parity: the lowered train-step graph is recorded
+        assert os.path.exists(os.path.join(out, "train_step.stablehlo.txt"))
         with open(os.path.join(out, "log")) as f:
             log = json.load(f)
         assert any("main/loss" in e for e in log)
+
+    def test_metrics_stay_on_device_between_logs(self, mini_coco, tmp_path,
+                                                 monkeypatch):
+        """Training-loop desync: per-step metrics must NOT be fetched to
+        host every iteration (that blocks async dispatch); one stacked
+        fetch per log window, with LogReport window-averaging intact."""
+        import jax
+
+        from tpupose.apps import train_cli
+
+        coco_root = tmp_path / "coco"
+        (coco_root / "annotations").mkdir(parents=True)
+        os.symlink(mini_coco["ann"],
+                   coco_root / "annotations" /
+                   "person_keypoints_train2017.json")
+        os.symlink(mini_coco["ann"],
+                   coco_root / "annotations" /
+                   "person_keypoints_val2017.json")
+        os.symlink(mini_coco["img_dir"], coco_root / "train2017")
+        os.symlink(mini_coco["img_dir"], coco_root / "val2017")
+
+        calls = {"n": 0}
+        real = jax.device_get
+
+        def counting(x):
+            calls["n"] += 1
+            return real(x)
+
+        monkeypatch.setattr(jax, "device_get", counting)
+        out = str(tmp_path / "result")
+        train_cli.main([
+            "--coco_dir", str(coco_root), "--out", out, "--test",
+            "--batchsize", "2", "--valbatchsize", "2", "--iteration", "4",
+            "--insize", "64", "--log_interval", "2",
+        ])
+        # 4 iterations / window 2 = 2 metric flushes; allow a couple more
+        # fetches for checkpointing — but nowhere near one per step x3.
+        assert calls["n"] <= 6, calls["n"]
+        with open(os.path.join(out, "log")) as f:
+            log = json.load(f)
+        its = [e["iteration"] for e in log if "main/loss" in e]
+        assert its == [2, 4]  # window-averaged entries at the interval
 
 
 class TestDataViz:

@@ -193,6 +193,85 @@ def test_full_postprocess_matches_oracle_pipeline():
     assert int(result.num_peaks) == sum(len(p) for p in ref_peaks)
 
 
+def test_peak_capacity_saturation_is_counted():
+    """>K peaks of one joint: the table truncates (known deviation) and
+    the overflow is surfaced in Peaks.dropped / PoseResult.peaks_dropped."""
+    from tpupose.ops.peaks import find_peaks
+
+    h, w = 46, 62
+    heatmaps = np.zeros((NUM_JOINTS + 1, h, w), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    n_bumps = 12
+    for i in range(n_bumps):
+        cy, cx = 8 + 10 * (i // 4), 8 + 15 * (i % 4)
+        heatmaps[0] += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 4.0)
+    cfg = InferenceConfig(max_peaks_per_joint=8)
+
+    peaks = find_peaks(jnp.asarray(heatmaps[:-1]), cfg.gaussian_sigma,
+                       cfg.heatmap_peak_thresh, cfg.max_peaks_per_joint)
+    assert int(jnp.sum(peaks.valid)) == 8
+    assert int(peaks.dropped) == n_bumps - 8
+
+    result = postprocess_pose(
+        jnp.zeros((2 * NUM_LIMBS, h, w)), jnp.asarray(heatmaps), w, cfg)
+    assert int(result.peaks_dropped) == n_bumps - 8
+
+    # within capacity: counter stays 0 (outputs = exact reference)
+    ok = find_peaks(jnp.asarray(heatmaps[:-1]), cfg.gaussian_sigma,
+                    cfg.heatmap_peak_thresh, 16)
+    assert int(ok.dropped) == 0
+
+
+def test_subset_capacity_saturation_is_counted():
+    """More spawning connections than max_subsets: the extra spawns are
+    refused and counted in Subsets.spawns_suppressed."""
+    k = 8
+    a = np.full((NUM_LIMBS, k), -1, np.int32)
+    b = np.full((NUM_LIMBS, k), -1, np.int32)
+    s = np.zeros((NUM_LIMBS, k), np.float32)
+    v = np.zeros((NUM_LIMBS, k), bool)
+    # limb 0 (neck->hip): 4 disjoint connections, all spawning
+    for i in range(4):
+        a[0, i], b[0, i], s[0, i], v[0, i] = i, i, 0.9, True
+    conn = Connections(a_slot=jnp.asarray(a), b_slot=jnp.asarray(b),
+                       score=jnp.asarray(s), valid=jnp.asarray(v))
+    x = np.tile(np.arange(k, dtype=np.float32) * 5, (NUM_JOINTS, 1))
+    peaks = Peaks(x=jnp.asarray(x), y=jnp.asarray(x),
+                  score=jnp.full((NUM_JOINTS, k), 0.5),
+                  valid=jnp.ones((NUM_JOINTS, k), bool))
+
+    cfg_small = InferenceConfig(max_peaks_per_joint=k, max_subsets=2)
+    got = group_keypoints(conn, peaks, cfg_small)
+    assert int(got.spawns_suppressed) == 2
+    cfg_big = InferenceConfig(max_peaks_per_joint=k, max_subsets=8)
+    assert int(group_keypoints(conn, peaks, cfg_big).spawns_suppressed) == 0
+
+
+def test_detector_warns_once_on_saturation():
+    import warnings as warnings_mod
+
+    import pytest
+
+    from tpupose.detectors import PoseDetector
+    from tpupose.ops.postprocess import PoseResult
+
+    det = PoseDetector("posenet", params={"params": {}})
+    s_cap = 4
+    result = PoseResult(
+        poses=jnp.zeros((s_cap, NUM_JOINTS, 3)),
+        scores=jnp.zeros((s_cap,)),
+        valid=jnp.zeros((s_cap,), bool),
+        num_peaks=jnp.int32(40),
+        peaks_dropped=jnp.int32(8),
+        spawns_suppressed=jnp.int32(2),
+    )
+    with pytest.warns(RuntimeWarning, match="capacity saturated"):
+        det._emit(result, 1.0, 1.0)
+    with warnings_mod.catch_warnings():
+        warnings_mod.simplefilter("error")  # second hit must NOT warn
+        det._emit(result, 1.0, 1.0)
+
+
 def test_greedy_match_ties_and_stress():
     """Adversarial stress for the sort-free matcher: many seeds, duplicate
     scores (tie-break must follow a-major enumeration order), saturated

@@ -7,7 +7,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpupose.utils.profiling import StageTimer
-from tpupose.utils.reporting import TrainLogger, dump_run_params
+from tpupose.utils.reporting import (
+    ProgressBar,
+    TrainLogger,
+    dump_computation_graph,
+    dump_run_params,
+)
 
 
 class TestStageTimer:
@@ -47,6 +52,35 @@ class TestTrainLogger:
         stamps = [f for f in os.listdir(str(tmp_path))
                   if f.startswith("@")]
         assert len(stamps) == 1
+
+
+class TestProgressBar:
+    def test_prints_at_interval_with_eta(self, capsys):
+        bar = ProgressBar(total_iters=10, update_interval=5)
+        for i in range(1, 11):
+            bar.update(i)
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 2  # iterations 5 and 10
+        assert "50.00%" in out[0] and "5/10 iter" in out[0]
+        assert "100.00%" in out[1] and "ETA" in out[1]
+
+    def test_final_iteration_always_prints(self, capsys):
+        bar = ProgressBar(total_iters=7, update_interval=100)
+        for i in range(1, 8):
+            bar.update(i)
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1 and "100.00%" in out[0]
+
+
+class TestDumpComputationGraph:
+    def test_stablehlo_written(self, tmp_path):
+        import jax
+
+        f = jax.jit(lambda x: jnp.sin(x) * 2.0)
+        path = dump_computation_graph(str(tmp_path), f, jnp.ones((4,)))
+        assert os.path.exists(path)
+        text = open(path).read()
+        assert "sine" in text and "module" in text
 
 
 class TestPlotLog:

@@ -49,6 +49,9 @@ def parse_args(argv=None):
                    help="bfloat16 compute (f32 params/loss)")
     p.add_argument("--insize", type=int, default=368,
                    help="training input size (368 = reference)")
+    p.add_argument("--log_interval", type=int, default=None,
+                   help="iterations per log entry (default: config; "
+                        "metrics stay on device between entries)")
     return p.parse_args(argv)
 
 
@@ -62,7 +65,8 @@ def main(argv=None):
     from tpupose.train.checkpoint import (
         export_model_npz, latest_checkpoint, restore_checkpoint,
         save_checkpoint)
-    from tpupose.utils.reporting import TrainLogger, dump_run_params
+    from tpupose.utils.reporting import (
+        ProgressBar, TrainLogger, dump_computation_graph, dump_run_params)
     from tpupose.weights import params_from_npz_auto
 
     args = parse_args(argv)
@@ -70,7 +74,8 @@ def main(argv=None):
                       insize=args.insize)
     iterations = min(args.iteration, 10) if args.test else args.iteration
     val_interval = 10 if args.test else cfg.snapshot_interval
-    log_interval = 1 if args.test else cfg.log_interval
+    log_interval = (args.log_interval if args.log_interval
+                    else (1 if args.test else cfg.log_interval))
 
     model = ARCHS[args.arch](
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
@@ -146,19 +151,44 @@ def main(argv=None):
     it = iter(train_loader)
     epoch_len = max(len(train_ds) // args.batchsize, 1)
     start = int(np.asarray(state.step))
+    # Per-step metrics stay ON DEVICE between log points: a float() per
+    # iteration is a blocking device fetch that defeats async dispatch and
+    # the loader's double buffering (the reference's LogReport also only
+    # materializes scalars at its interval trigger).  One stacked fetch
+    # per log window preserves LogReport's window-averaging exactly.
+    metric_keys = ("loss", "paf", "heat")
+    pending = []  # [(iteration, {k: device scalar})]
+
+    def flush_metrics(extra_scalars=None, last_iter=None):
+        if not pending:
+            return
+        stacked = np.asarray(jax.device_get(jnp.stack(
+            [jnp.stack([m[k] for k in metric_keys]) for _, m in pending])))
+        for (it_n, _), row in zip(pending, stacked):
+            scalars = {f"main/{k}": float(v)
+                       for k, v in zip(metric_keys, row)}
+            if extra_scalars and it_n == last_iter:
+                scalars.update(extra_scalars)
+            logger.observe(it_n, scalars, epoch=it_n // epoch_len)
+        pending.clear()
+
+    progress = (None if args.test
+                else ProgressBar(iterations, update_interval=log_interval))
     for i in range(start, iterations):
         batch = next(it)
+        if i == start:
+            dump_computation_graph(args.out, step, state, batch)
         state, metrics = step(state, batch)
-        scalars = {
-            "main/loss": float(metrics["loss"]),
-            "main/paf": float(metrics["paf"]),
-            "main/heat": float(metrics["heat"]),
-        }
+        pending.append((i + 1, metrics))
+        if progress:
+            progress.update(i + 1)
         if (i + 1) % val_interval == 0:
-            scalars.update(run_validation(state.params))
+            extra = run_validation(state.params)
             save_checkpoint(args.out, state)
             export_model_npz(args.out, state)
-        logger.observe(i + 1, scalars, epoch=(i + 1) // epoch_len)
+            flush_metrics(extra, last_iter=i + 1)
+        elif (i + 1) % log_interval == 0 or i + 1 == iterations:
+            flush_metrics()
 
     save_checkpoint(args.out, state)
     export_model_npz(args.out, state, name=f"{args.arch}_final.npz")

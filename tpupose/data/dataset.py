@@ -173,6 +173,15 @@ class CocoPoseDataset:
         # renders all persons; dropping without masking would actively
         # penalize them).
         if len(poses) > self.cfg.max_persons:
+            if not getattr(self, "_warned_person_overflow", False):
+                import warnings
+
+                self._warned_person_overflow = True
+                warnings.warn(
+                    f"image {img_id}: {len(poses)} annotated persons exceed "
+                    f"max_persons={self.cfg.max_persons}; the overflow is "
+                    "masked out of the loss (raise TrainConfig.max_persons "
+                    "to train on them)", RuntimeWarning, stacklevel=2)
             for pose in poses[self.cfg.max_persons:]:
                 pts = pose[pose[:, 2] > 0]
                 if not len(pts):

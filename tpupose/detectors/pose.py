@@ -93,6 +93,7 @@ class PoseDetector:
         self._fast_fns: Dict[tuple, object] = {}
         self._scale_fns: Dict[tuple, object] = {}
         self._avg_fns: Dict[tuple, object] = {}
+        self._warned_saturation = False
 
     # ------------------------------------------------------------------
     # fast single-scale path (ref ``pose_detector.py:484-517``)
@@ -225,13 +226,15 @@ class PoseDetector:
                 return jax.vmap(per_frame)(paf, hm)
 
             if self.mesh is not None:
-                from tpupose.parallel import (
-                    data_only_sharding, replicated)
+                from tpupose.parallel import batch_sharding, replicated
 
+                # (B, H, W, 3) frames shard batch over 'data' AND height
+                # over 'spatial' — XLA inserts the conv halo exchanges, so
+                # a single huge frame can ride multiple chips.
                 self._fast_fns[key] = jax.jit(
                     fn,
                     in_shardings=(replicated(self.mesh),
-                                  data_only_sharding(self.mesh)),
+                                  batch_sharding(self.mesh)),
                     out_shardings=replicated(self.mesh))
             else:
                 self._fast_fns[key] = jax.jit(fn)
@@ -423,6 +426,19 @@ class PoseDetector:
         ``np.asarray`` would issue four sequential round trips over the
         (high-latency) device link per frame."""
         result = jax.device_get(result)
+        dropped = int(result.peaks_dropped)
+        suppressed = int(result.spawns_suppressed)
+        if (dropped or suppressed) and not self._warned_saturation:
+            import warnings
+
+            self._warned_saturation = True
+            warnings.warn(
+                f"pose postprocess capacity saturated ({dropped} peaks "
+                f"dropped beyond max_peaks_per_joint, {suppressed} person "
+                "subsets suppressed beyond max_subsets); results may "
+                "diverge from the reference on this crowd — raise "
+                "InferenceConfig.max_peaks_per_joint/max_subsets",
+                RuntimeWarning, stacklevel=3)
         valid = np.asarray(result.valid)
         if int(result.num_peaks) == 0 or not valid.any():
             return (np.empty((0, NUM_JOINTS, 3)), np.empty(0))

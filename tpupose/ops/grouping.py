@@ -62,12 +62,16 @@ class Subsets(NamedTuple):
                 score to BOTH the score column and the count column.  That
                 quirk is replicated for bit-parity.
     valid:      (S,) bool — survives the final limb-count/score filter
+    spawns_suppressed: () int32 — subset spawns refused because the static
+                table was full (saturation signal; 0 = exact reference
+                semantics)
     """
 
     joint_slot: jnp.ndarray
     score: jnp.ndarray
     count: jnp.ndarray
     valid: jnp.ndarray
+    spawns_suppressed: jnp.ndarray = 0
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +106,7 @@ def group_keypoints(connections: Connections, peaks: Peaks,
     n_valid = jnp.sum(flat_valid).astype(jnp.int32)
 
     def body(i, state):
-        joint_slot, score, count, active, n_created = state
+        joint_slot, score, count, active, n_created, n_suppressed = state
         idx = compact[i]
         l = idx // k
         c = idx % k
@@ -174,8 +178,10 @@ def group_keypoints(connections: Connections, peaks: Peaks,
         joint_slot, score, count = fill(joint_slot, score, count, s2)
 
         # --- case 0: spawn a new subset ---
-        do_new = (
-            conn_valid & (cnt == 0) & spawning[l] & (n_created < s_cap))
+        want_new = conn_valid & (cnt == 0) & spawning[l]
+        do_new = want_new & (n_created < s_cap)
+        n_suppressed = n_suppressed + (
+            want_new & (n_created >= s_cap)).astype(jnp.int32)
         slot = jnp.minimum(n_created, s_cap - 1)
         joint_slot = jnp.where(
             do_new,
@@ -189,13 +195,14 @@ def group_keypoints(connections: Connections, peaks: Peaks,
         active = jnp.where(do_new, active.at[slot].set(True), active)
         n_created = n_created + do_new.astype(jnp.int32)
 
-        return joint_slot, score, count, active, n_created
+        return joint_slot, score, count, active, n_created, n_suppressed
 
     init = (
         jnp.full((s_cap, NUM_JOINTS), -1, jnp.int32),
         jnp.zeros((s_cap,), jnp.float32),
         jnp.zeros((s_cap,), jnp.float32),
         jnp.zeros((s_cap,), bool),
+        jnp.int32(0),
         jnp.int32(0),
     )
 
@@ -207,8 +214,8 @@ def group_keypoints(connections: Connections, peaks: Peaks,
         i, state = carry
         return i + 1, body(i, state)
 
-    _, (joint_slot, score, count, active, _) = jax.lax.while_loop(
-        while_cond, while_body, (jnp.int32(0), init))
+    _, (joint_slot, score, count, active, _, n_suppressed) = (
+        jax.lax.while_loop(while_cond, while_body, (jnp.int32(0), init)))
 
     # Final filter (ref ``pose_detector.py:248``): count here is the joint
     # count (column -1 in the reference); the limb threshold is applied to
@@ -220,7 +227,7 @@ def group_keypoints(connections: Connections, peaks: Peaks,
         & (score / safe_count >= cfg.subset_score_thresh)
     )
     return Subsets(joint_slot=joint_slot, score=score, count=count,
-                   valid=keep)
+                   valid=keep, spawns_suppressed=n_suppressed)
 
 
 def subsets_to_poses(subsets: Subsets, peaks: Peaks) -> Tuple[jnp.ndarray,

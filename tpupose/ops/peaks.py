@@ -28,15 +28,19 @@ from tpupose.ops.gaussian import gaussian_blur_reflect
 class Peaks(NamedTuple):
     """Static-shape peak table.
 
-    x, y:   (J, K) float32 peak coordinates (heatmap pixel space)
-    score:  (J, K) float32 smoothed-heatmap value at the peak
-    valid:  (J, K) bool
+    x, y:    (J, K) float32 peak coordinates (heatmap pixel space)
+    score:   (J, K) float32 smoothed-heatmap value at the peak
+    valid:   (J, K) bool
+    dropped: () int32 — peaks beyond the static K capacity that were
+             silently dropped (saturation signal; 0 = exact reference
+             semantics, >0 = a crowd scene overflowed the table)
     """
 
     x: jnp.ndarray
     y: jnp.ndarray
     score: jnp.ndarray
     valid: jnp.ndarray
+    dropped: jnp.ndarray = 0
 
     @property
     def counts(self) -> jnp.ndarray:
@@ -92,11 +96,13 @@ def extract_peaks(mask: jnp.ndarray, smoothed: jnp.ndarray,
     xs = (top_idx % w).astype(jnp.float32)
     scores = jnp.take_along_axis(flat_score, top_idx, axis=1)
     zero = jnp.zeros_like(ys)
+    total = jnp.sum(flat_mask, dtype=jnp.int32)
     return Peaks(
         x=jnp.where(valid, xs, zero),
         y=jnp.where(valid, ys, zero),
         score=jnp.where(valid, scores, zero),
         valid=valid,
+        dropped=total - jnp.sum(valid, dtype=jnp.int32),
     )
 
 

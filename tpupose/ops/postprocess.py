@@ -23,12 +23,20 @@ from tpupose.ops.peaks import find_peaks
 class PoseResult(NamedTuple):
     """poses: (S, 18, 3) [x, y, v]; scores: (S,); valid: (S,) bool;
     num_peaks: () int32 total peak count (for the reference's empty-peaks
-    early-out at ``pose_detector.py:509``)."""
+    early-out at ``pose_detector.py:509``).
+
+    Saturation counters (both 0 in any scene within static capacity, where
+    outputs are exactly the reference's; >0 means a crowd overflowed a
+    fixed-shape table and results may diverge — surfaced as a warning by
+    the detectors): ``peaks_dropped`` = peaks beyond K per joint,
+    ``spawns_suppressed`` = person subsets refused by a full table."""
 
     poses: jnp.ndarray
     scores: jnp.ndarray
     valid: jnp.ndarray
     num_peaks: jnp.ndarray
+    peaks_dropped: jnp.ndarray = 0
+    spawns_suppressed: jnp.ndarray = 0
 
 
 _LIMBS_A = LIMBS_FROM
@@ -54,4 +62,6 @@ def postprocess_pose(pafs: jnp.ndarray, heatmaps: jnp.ndarray,
         scores=jnp.where(person_valid, subsets.score, 0.0),
         valid=person_valid,
         num_peaks=jnp.sum(peaks.valid),
+        peaks_dropped=peaks.dropped,
+        spawns_suppressed=subsets.spawns_suppressed,
     )

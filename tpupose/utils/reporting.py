@@ -63,6 +63,52 @@ class TrainLogger:
         print("  ".join(cells), flush=True)
 
 
+class ProgressBar:
+    """Console progress line with speed and ETA — the Chainer
+    ``extensions.ProgressBar`` equivalent
+    (``train_coco_pose_estimation.py:262``).  Pure host-side iteration
+    counting: never touches device values, so it cannot de-async the
+    training loop."""
+
+    def __init__(self, total_iters: int, update_interval: int = 100,
+                 bar_length: int = 50):
+        self.total = max(total_iters, 1)
+        self.interval = max(update_interval, 1)
+        self.bar_length = bar_length
+        self._start = time.time()
+        self._start_iter: Optional[int] = None
+
+    def update(self, iteration: int) -> None:
+        if self._start_iter is None:
+            self._start_iter = iteration - 1
+            self._start = time.time()
+        if iteration % self.interval and iteration != self.total:
+            return
+        frac = min(iteration / self.total, 1.0)
+        filled = int(self.bar_length * frac)
+        bar = "#" * filled + "." * (self.bar_length - filled)
+        elapsed = max(time.time() - self._start, 1e-9)
+        speed = (iteration - self._start_iter) / elapsed
+        eta = (self.total - iteration) / max(speed, 1e-9)
+        print(f"     total [{bar}] {100 * frac:.2f}%  "
+              f"{iteration}/{self.total} iter  {speed:.3f} iters/sec  "
+              f"ETA {datetime.timedelta(seconds=int(eta))}", flush=True)
+
+
+def dump_computation_graph(out_dir: str, jitted_fn, *example_args) -> str:
+    """Write the lowered StableHLO of the training step to
+    ``<out>/train_step.stablehlo.txt`` — the TPU-native analogue of
+    Chainer's ``dump_graph('main/loss')`` .dot file
+    (``train_coco_pose_estimation.py:258``): the full computation graph
+    XLA will compile, inspectable offline."""
+    os.makedirs(out_dir, exist_ok=True)
+    text = jitted_fn.lower(*example_args).as_text()
+    path = os.path.join(out_dir, "train_step.stablehlo.txt")
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
 def dump_run_params(out_dir: str, args: dict) -> None:
     """``params.json`` + ``@<timestamp>`` marker (ref ``:268-275``)."""
     os.makedirs(out_dir, exist_ok=True)
