@@ -344,6 +344,148 @@ class TestEvaluatorProtocolRules:
         assert stats["AP"] == pytest.approx(1.0)
 
 
+class TestHandDerivedAPFixture:
+    """Anchors the AP protocol to numbers derived BY HAND from the official
+    COCO evaluation definition (no pycocotools on this box; the arithmetic
+    is documented step by step so any structural misreading of the
+    protocol fails against an independently derived expectation).
+
+    Scenario (2 images, 2 GTs, 3 detections, category person):
+      img1: GT_A fully visible at P (area 2500).  D1 = exact copy,
+            score .9 -> OKS 1.  D2 far away, score .8 -> OKS ~= 0 (FP).
+      img2: GT_B with ONE visible keypoint (nose, sigma .026).  D3 at
+            offset d with OKS = exp(-d^2 / (2*area*(2*.026)^2)) ~= .72,
+            score .85.
+
+    Per threshold t <= .70 (5 of the 10 thresholds): D1 TP, D3 TP, D2 FP.
+      score-sorted: [.9 TP, .85 TP, .8 FP]; tp=[1,2,2], fp=[0,0,1],
+      recall=[.5,1,1], precision=[1,1,2/3] -> envelope [1,1,2/3];
+      101-pt interpolation: every recall grid point <= 1 maps to
+      precision 1 -> AP_t = 1, recall_t = 1.
+    Per threshold t >= .75 (the other 5): D3 unmatched -> FP.
+      tp=[1,1,1], fp=[0,1,2], recall=[.5,.5,.5],
+      precision=[1,.5,1/3] -> envelope [1,.5,1/3]; grid points r <= .5
+      (51 of 101) map to precision 1, the rest past the last recall -> 0
+      -> AP_t = 51/101, recall_t = .5.
+
+    AP   = (5*1 + 5*51/101) / 10 = .5 + 25.5/101  ~= .752475
+    AP50 = 1.0;  AP75 = 51/101 ~= .504950;  AR = (5*1 + 5*.5)/10 = .75
+    Areas are all 2500 (inside [32^2, 96^2]) -> AP_medium = AP;
+    no GT in the large range -> AP_large = -1 (undefined convention).
+    """
+
+    def _scenario(self):
+        area = 2500.0
+        rng = np.random.RandomState(0)
+        pose_a = _random_kpts17(rng, 100, 200)
+        gt_a = _gt_from_pose17(pose_a, area=area)
+        d1 = {"keypoints": [float(v) for r in pose_a for v in r],
+              "score": 0.9, "area": area}
+        far = pose_a.copy()
+        far[:, :2] += 5000
+        d2 = {"keypoints": [float(v) for r in far for v in r],
+              "score": 0.8, "area": area}
+
+        # GT_B: only the nose (kpt 0, sigma .026) labeled
+        pose_b = np.zeros((17, 3))
+        pose_b[0] = (300.0, 300.0, 2)
+        gt_b = {"keypoints": [float(v) for r in pose_b for v in r],
+                "num_keypoints": 1, "area": area, "iscrowd": 0,
+                "bbox": [290.0, 290.0, 20.0, 20.0]}
+        target_oks = 0.72
+        d = float(np.sqrt(-np.log(target_oks) * 2 * area * (2 * 0.026) ** 2))
+        det_b = pose_b.copy()
+        det_b[0, 0] += d
+        d3 = {"keypoints": [float(v) for r in det_b for v in r],
+              "score": 0.85, "area": area}
+        return [([d1, d2], [gt_a]), ([d3], [gt_b])]
+
+    def test_matches_hand_derived_numbers(self):
+        images = self._scenario()
+        ev = KeypointEvaluator()
+        for dts, gts in images:
+            ev.add_image(dts, gts)
+        stats = ev.summarize()
+        assert stats["AP"] == pytest.approx(0.5 + 25.5 / 101, abs=1e-9)
+        assert stats["AP50"] == pytest.approx(1.0, abs=1e-9)
+        assert stats["AP75"] == pytest.approx(51 / 101, abs=1e-9)
+        assert stats["AR"] == pytest.approx(0.75, abs=1e-9)
+        assert stats["AP_medium"] == pytest.approx(stats["AP"], abs=1e-9)
+        assert stats["AP_large"] == -1.0
+
+    def test_reference_transcription_agrees_on_fixture(self):
+        from cocoeval_reference import evaluate_and_summarize
+
+        stats = evaluate_and_summarize(self._scenario())
+        assert stats["AP"] == pytest.approx(0.5 + 25.5 / 101, abs=1e-9)
+        assert stats["AP75"] == pytest.approx(51 / 101, abs=1e-9)
+        assert stats["AR"] == pytest.approx(0.75, abs=1e-9)
+        assert stats["AP_large"] == -1.0
+
+
+class TestEvaluatorVsIndependentTranscription:
+    """Randomized cross-check: KeypointEvaluator vs a structurally
+    different transcription of the official cocoeval (array-oriented
+    T x R x A accumulation, ``tests/cocoeval_reference.py``) across
+    scenarios with crowds, unlabeled GTs, area-range mixes, hallucinated
+    detections, and score ties."""
+
+    def _random_images(self, rng, n_images):
+        images = []
+        for img in range(n_images):
+            gts, dts = [], []
+            for _ in range(rng.randint(0, 4)):
+                k = _random_kpts17(rng, 50, 400)
+                # some GTs partially labeled, some unlabeled, some crowd
+                drop = rng.rand(17) < rng.uniform(0, 0.7)
+                k[drop] = 0
+                area = float(rng.choice([500, 2500, 12000]))
+                gt = {
+                    "keypoints": [float(v) for r in k for v in r],
+                    "num_keypoints": int((k[:, 2] > 0).sum()),
+                    "area": area,
+                    "iscrowd": int(rng.rand() < 0.2),
+                    "bbox": [float(k[:, 0].min()), float(k[:, 1].min()),
+                             float(max(np.ptp(k[:, 0]), 1.0)),
+                             float(max(np.ptp(k[:, 1]), 1.0))],
+                }
+                gts.append(gt)
+                if rng.rand() < 0.8:  # a detection near this GT
+                    d = k.copy()
+                    d[:, :2] += rng.normal(0, rng.uniform(0.5, 8), (17, 2))
+                    d[:, 2] = 1
+                    dts.append({
+                        "keypoints": [float(v) for r in d for v in r],
+                        # quantized scores force ties
+                        "score": round(float(rng.uniform(0.1, 1.0)), 1),
+                        "area": float(rng.choice([500, 2500, 12000])),
+                    })
+            for _ in range(rng.randint(0, 2)):  # hallucinations
+                d = _random_kpts17(rng, 50, 400)
+                dts.append({
+                    "keypoints": [float(v) for r in d for v in r],
+                    "score": round(float(rng.uniform(0.1, 1.0)), 1),
+                    "area": float(rng.choice([500, 2500, 12000])),
+                })
+            images.append((dts, gts))
+        return images
+
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6])
+    def test_agreement(self, seed):
+        from cocoeval_reference import evaluate_and_summarize
+
+        rng = np.random.RandomState(seed)
+        images = self._random_images(rng, n_images=rng.randint(2, 6))
+        ev = KeypointEvaluator()
+        for dts, gts in images:
+            ev.add_image([dict(d) for d in dts], [dict(g) for g in gts])
+        got = ev.summarize()
+        ref = evaluate_and_summarize(images)
+        for key in ("AP", "AP50", "AP75", "AP_medium", "AP_large", "AR"):
+            assert got[key] == pytest.approx(ref[key], abs=1e-9), \
+                f"seed {seed} {key}: {got[key]} vs {ref[key]}"
+
+
 class TestEmptyImageFPs:
     def test_detections_on_person_free_images_count_as_fps(self):
         """All-images eval: hallucinations on empty images lower AP."""
