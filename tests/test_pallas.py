@@ -42,6 +42,32 @@ def test_blur_nms_small_map_boundaries():
                                atol=2e-6)
 
 
+def test_blur_nms_row_tiled_matches_untiled():
+    """Multi-tile path (precise mode postprocesses at original image
+    resolution, far beyond one VMEM block): tile boundaries must be
+    seamless — the NMS at a boundary row compares against the real blurred
+    neighbor in the adjacent tile, and a non-divisible height exercises
+    the padded last tile."""
+    rng = np.random.RandomState(3)
+    hm = _random_heatmaps(rng, j=4, h=46, w=30)
+    # plant peaks ON the tile boundaries (rows 15/16 and 31/32 at tile_h 16)
+    for c in range(4):
+        for y in (15, 16, 31, 32):
+            hm[c, y, 5 + 3 * c] += 1.0
+    one_tile = blur_nms_pallas(jnp.asarray(hm), 2.5, 0.05, interpret=True,
+                               tile_h=64)
+    tiled = blur_nms_pallas(jnp.asarray(hm), 2.5, 0.05, interpret=True,
+                            tile_h=16)  # 46 -> 3 tiles, last one padded
+    np.testing.assert_allclose(np.asarray(tiled[0]),
+                               np.asarray(one_tile[0]), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(tiled[1]),
+                                  np.asarray(one_tile[1]))
+    mask_ref = np.asarray(nms_mask(
+        gaussian_blur_reflect(jnp.asarray(hm), 2.5), 0.05))
+    np.testing.assert_array_equal(np.asarray(tiled[1]), mask_ref)
+    assert mask_ref.sum() > 8  # the boundary peaks actually exist
+
+
 def test_find_peaks_same_result_both_backends():
     rng = np.random.RandomState(2)
     hm = jnp.asarray(_random_heatmaps(rng))
