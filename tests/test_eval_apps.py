@@ -247,12 +247,30 @@ class TestCameraApp:
         cap.release()
         assert n >= 2
 
-    def test_precise_rejects_batch_mode(self, tmp_path):
+    def test_precise_batched_video(self, tmp_path, monkeypatch):
+        """--precise --batch: groups of frames run the full multi-scale
+        pyramid through batched fused programs."""
+        import tpupose.detectors as det_mod
         from tpupose.apps import camera
 
-        with pytest.raises(SystemExit):
-            camera.main(["pose", "--video", "x.mp4", "--headless",
-                         "--precise", "--batch", "2"])
+        video = str(tmp_path / "in.mp4")
+        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (64, 48))
+        rng = np.random.RandomState(0)
+        for _ in range(4):
+            wr.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+        wr.release()
+
+        stub = _stub_pose_detector(precise=True)
+        monkeypatch.setattr(det_mod, "PoseDetector",
+                            lambda *a, **kw: stub)
+        out = str(tmp_path / "out.mp4")
+        camera.main(["pose", "--video", video, "--headless", "--precise",
+                     "--batch", "2", "--save", out, "--max-frames", "4"])
+        cap = CV2.VideoCapture(out)
+        n = int(cap.get(CV2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        assert n >= 3
 
     def test_haar_cascade_path_prefers_vendored_file(self):
         """The reference ships models/haarcascade_frontalface_alt.xml; the
@@ -264,6 +282,22 @@ class TestCameraApp:
         assert os.path.exists(path)
         assert "tpupose" in path and path.endswith(
             "haarcascade_frontalface_alt.xml")
+
+
+class TestBatchedPrecise:
+    def test_detect_batch_precise_matches_single(self):
+        """Batched multi-scale inference (new capability; the reference's
+        precise mode is a serial per-frame per-scale loop) must equal the
+        single-frame precise path per frame."""
+        det = _stub_pose_detector(precise=True)
+        rng = np.random.RandomState(5)
+        imgs = rng.randint(0, 255, (3, 60, 76, 3), np.uint8)
+        singles = [det(img) for img in imgs]
+        batched = det.detect_batch(imgs)
+        assert len(batched) == 3
+        for (bp, bs), (sp, ss) in zip(batched, singles):
+            np.testing.assert_allclose(bp, sp, atol=1e-4)
+            np.testing.assert_allclose(bs, ss, atol=1e-4)
 
 
 class TestBatchedCrops:

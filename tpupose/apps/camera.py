@@ -77,7 +77,8 @@ def run_pose_batched(args):
     from tpupose.detectors import PoseDetector, draw_person_pose
 
     _warn_if_random(args.weights, "posenet")
-    detector = PoseDetector("posenet", weights_file=args.weights)
+    detector = PoseDetector("posenet", weights_file=args.weights,
+                            precise=args.precise)
     cap = open_capture(args)
     emit = writer = None
     n_frames = 0
@@ -120,9 +121,6 @@ def run_pose(args):
     from tpupose.detectors import PoseDetector, draw_person_pose
 
     if args.batch > 1:
-        if args.precise:
-            raise SystemExit("--precise is streaming-mode only "
-                             "(incompatible with --batch)")
         return run_pose_batched(args)
 
     _warn_if_random(args.weights, "posenet")

@@ -241,16 +241,21 @@ class PoseDetector:
         return self._fast_fns[key]
 
     def detect_batch(self, imgs: np.ndarray):
-        """Batched fast-path inference over same-sized frames.
+        """Batched inference over same-sized frames (fast or precise).
 
         imgs: (B, H, W, 3) uint8 -> list of (poses, scores) per frame.
-        One upload / one fused program / one download for the whole batch
+        One upload / few fused programs / one download for the whole batch
         — the batch dimension rides the MXU, so per-frame cost drops well
-        below the single-frame path for streaming workloads.
+        below the single-frame path for streaming/offline workloads.
+        Precise detectors run the full multi-scale pyramid batched (a
+        capability the reference lacks entirely — its precise mode is a
+        serial per-frame per-scale loop, ``pose_detector.py:433-482``).
         """
         import cv2
 
         imgs = np.asarray(imgs)
+        if self.precise:
+            return self._detect_batch_precise(imgs)
         b, orig_h, orig_w = imgs.shape[:3]
         input_w, input_h = compute_optimal_size(
             orig_h, orig_w, self.cfg.img_size, self.cfg.downscale)
@@ -364,6 +369,108 @@ class PoseDetector:
 
             self._scale_fns[key] = jax.jit(fn)
         return self._scale_fns[key]
+
+    def _batch_scale_fn(self, batch: int, post_hw: Tuple[int, int],
+                        scaled_hw: Tuple[int, int],
+                        padded_hw: Tuple[int, int]):
+        """Batched variant of ``_device_scale_fn``: one program runs one
+        pyramid scale for ALL frames — the batch dimension keeps the MXU
+        full where the single-frame path underutilizes it at small
+        scales."""
+        key = ("bdev", batch, post_hw, scaled_hw, padded_hw)
+        if key not in self._scale_fns:
+            model = self.model
+            o_h, o_w = post_hw
+            s_h, s_w = scaled_hw
+            p_h, p_w = padded_hw
+            pad_val = jnp.asarray(self.cfg.pad_value, jnp.float32)
+
+            def fn(variables, orig_u8):      # (B, H, W, 3)
+                img = resize_cv2_cubic(
+                    orig_u8.astype(jnp.float32), (s_h, s_w))
+                img = jnp.clip(jnp.round(img), 0.0, 255.0)
+                img = jnp.pad(
+                    img, ((0, 0), (0, p_h - s_h), (0, p_w - s_w), (0, 0)),
+                    constant_values=0.0)
+                pad_mask = jnp.zeros((p_h, p_w, 1), jnp.float32)
+                pad_mask = pad_mask.at[:s_h, :s_w].set(1.0)
+                img = img * pad_mask + pad_val * (1.0 - pad_mask)
+                x = img / 255.0 - 0.5
+                pafs, heatmaps = model.apply(variables, x)
+                paf = pafs[-1]               # (B, h/8, w/8, 38)
+                hm = heatmaps[-1]
+                paf = resize_cv2_cubic(paf, (p_h, p_w))[:, :s_h, :s_w]
+                paf = resize_cv2_cubic(paf, (o_h, o_w))
+                hm = resize_cv2_cubic(hm, (p_h, p_w))[:, :s_h, :s_w]
+                hm = resize_cv2_cubic(hm, (o_h, o_w))
+                return paf, hm
+
+            if self.mesh is not None:
+                from tpupose.parallel import batch_sharding, replicated
+
+                self._scale_fns[key] = jax.jit(
+                    fn,
+                    in_shardings=(replicated(self.mesh),
+                                  batch_sharding(self.mesh)),
+                    out_shardings=replicated(self.mesh))
+            else:
+                self._scale_fns[key] = jax.jit(fn)
+        return self._scale_fns[key]
+
+    def _batch_avg_postprocess_fn(self, post_hw: Tuple[int, int],
+                                  n_scales: int, batch: int):
+        key = ("bavg", post_hw, n_scales, batch)
+        if key not in self._avg_fns:
+            cfg = self.cfg
+            o_w = post_hw[1]
+
+            def fn(paf_list, hm_list):       # lists of (B, o_h, o_w, C)
+                paf = sum(paf_list) / n_scales
+                hm = sum(hm_list) / n_scales
+
+                def per_frame(p, h):
+                    return postprocess_pose(
+                        jnp.transpose(p, (2, 0, 1)),
+                        jnp.transpose(h, (2, 0, 1)),
+                        jnp.float32(o_w), cfg)
+
+                return jax.vmap(per_frame)(paf, hm)
+
+            self._avg_fns[key] = jax.jit(fn)
+        return self._avg_fns[key]
+
+    def _detect_batch_precise(self, imgs: np.ndarray):
+        import math
+
+        b, orig_h, orig_w = imgs.shape[:3]
+        cap = self.cfg.max_postprocess_len
+        if cap and max(orig_h, orig_w) > cap:
+            s = cap / max(orig_h, orig_w)
+            post_hw = (max(1, round(orig_h * s)), max(1, round(orig_w * s)))
+        else:
+            post_hw = (orig_h, orig_w)
+
+        orig_dev = jnp.asarray(imgs)
+        paf_list, hm_list = [], []
+        for scale in self.cfg.scales:
+            multiplier = scale * self.cfg.img_size / min(orig_h, orig_w)
+            scaled_hw = (math.ceil(orig_h * multiplier),
+                         math.ceil(orig_w * multiplier))
+            padded_hw = (scaled_hw[0] + (-scaled_hw[0]) % self.cfg.downscale,
+                         scaled_hw[1] + (-scaled_hw[1]) % self.cfg.downscale)
+            fn = self._batch_scale_fn(b, post_hw, scaled_hw, padded_hw)
+            paf, hm = fn(self.variables, orig_dev)
+            paf_list.append(paf)
+            hm_list.append(hm)
+        fn = self._batch_avg_postprocess_fn(post_hw, len(self.cfg.scales), b)
+        results = jax.device_get(fn(paf_list, hm_list))
+        out = []
+        for i in range(b):
+            frame_result = jax.tree_util.tree_map(lambda a: a[i], results)
+            out.append(self._emit(frame_result,
+                                  scale_x=orig_w / post_hw[1],
+                                  scale_y=orig_h / post_hw[0]))
+        return out
 
     def detect_precise(self, orig_img: np.ndarray):
         return self.collect(self._submit_precise(orig_img))
