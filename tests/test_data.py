@@ -385,6 +385,7 @@ class TestCapacityAndDtypeParity:
 
         cfg = TrainConfig(insize=128, max_persons=2)
         ds = CocoPoseDataset(ann_file, str(img_dir), mode="val", cfg=cfg)
-        img, poses, mask = ds.sample(0)
+        with pytest.warns(RuntimeWarning, match="exceed max_persons"):
+            img, poses, mask = ds.sample(0)
         assert poses.shape[0] == 2
         assert mask.any()  # dropped person's region is ignored

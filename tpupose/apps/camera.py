@@ -68,6 +68,12 @@ def make_sink(args, frame_shape, fps: float = 30.0):
     return emit, writer
 
 
+def _compute_dtype(args):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+
+
 def run_pose_batched(args):
     """Batched throughput mode: groups of ``--batch`` frames go through
     one fused device program (new capability; the reference is strictly
@@ -78,7 +84,8 @@ def run_pose_batched(args):
 
     _warn_if_random(args.weights, "posenet")
     detector = PoseDetector("posenet", weights_file=args.weights,
-                            precise=args.precise)
+                            precise=args.precise,
+                            compute_dtype=_compute_dtype(args))
     cap = open_capture(args)
     emit = writer = None
     n_frames = 0
@@ -125,7 +132,8 @@ def run_pose(args):
 
     _warn_if_random(args.weights, "posenet")
     detector = PoseDetector("posenet", weights_file=args.weights,
-                            precise=args.precise)
+                            precise=args.precise,
+                            compute_dtype=_compute_dtype(args))
     cap = open_capture(args)
 
     emit = writer = None
@@ -227,7 +235,8 @@ def run_face(args):
     from tpupose.detectors.draw import draw_face_keypoints
 
     _warn_if_random(args.weights, "facenet")
-    detector = FaceDetector("facenet", weights_file=args.weights)
+    detector = FaceDetector("facenet", weights_file=args.weights,
+                            compute_dtype=_compute_dtype(args))
     if args.face_source == "haar":
         if not hasattr(cv2, "CascadeClassifier"):
             raise RuntimeError(
@@ -283,6 +292,9 @@ def main(argv=None):
                    help="pose mode: multi-scale precise inference, "
                         "software-pipelined across frames (the reference's "
                         "precise mode is strictly serial)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 network compute (faster; keypoints may "
+                        "shift a pixel vs the f32 reference-parity path)")
     p.add_argument("--face-source", default="haar",
                    choices=("haar", "pose"),
                    help="face mode: locate faces via Haar cascade or via "

@@ -79,12 +79,22 @@ def main(argv=None):
     p.add_argument("--hand-weights", help="handnet.npz")
     p.add_argument("--precise", action="store_true",
                    help="multi-scale pose inference")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 network compute: ~20%% faster steps, but "
+                        "map values shift ~1e-3 so keypoints may differ "
+                        "from the f32 reference-parity path by a pixel")
     args = p.parse_args(argv)
 
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     pose_detector = PoseDetector(
-        "posenet", weights_file=args.pose_weights, precise=args.precise)
-    face_detector = FaceDetector("facenet", weights_file=args.face_weights)
-    hand_detector = HandDetector("handnet", weights_file=args.hand_weights)
+        "posenet", weights_file=args.pose_weights, precise=args.precise,
+        compute_dtype=dtype)
+    face_detector = FaceDetector("facenet", weights_file=args.face_weights,
+                                 compute_dtype=dtype)
+    hand_detector = HandDetector("handnet", weights_file=args.hand_weights,
+                                 compute_dtype=dtype)
 
     img = cv2.imread(args.img)
     if img is None:
