@@ -285,11 +285,18 @@ class TestCameraApp:
 
 
 class TestBatchedPrecise:
-    def test_detect_batch_precise_matches_single(self):
+    @pytest.mark.parametrize("device_pyramid", [True, False])
+    def test_detect_batch_precise_matches_single(self, device_pyramid):
         """Batched multi-scale inference (new capability; the reference's
         precise mode is a serial per-frame per-scale loop) must equal the
-        single-frame precise path per frame."""
+        single-frame precise path per frame — in BOTH pyramid modes (the
+        cfg.device_pyramid parity knob must not be silently voided by
+        batching)."""
+        import dataclasses
+
         det = _stub_pose_detector(precise=True)
+        det.cfg = dataclasses.replace(det.cfg,
+                                      device_pyramid=device_pyramid)
         rng = np.random.RandomState(5)
         imgs = rng.randint(0, 255, (3, 60, 76, 3), np.uint8)
         singles = [det(img) for img in imgs]

@@ -277,31 +277,80 @@ class PoseDetector:
     # precise multi-scale path (ref ``pose_detector.py:433-482``)
     # ------------------------------------------------------------------
 
+    def _postprocess_hw(self, orig_h: int, orig_w: int) -> Tuple[int, int]:
+        """Precise-mode postprocess resolution: original (reference
+        parity) or capped by ``cfg.max_postprocess_len`` (serving knob);
+        poses rescale back at emit.  The single shared definition for the
+        single-frame, batched, and bench paths."""
+        cap = self.cfg.max_postprocess_len
+        if cap and max(orig_h, orig_w) > cap:
+            s = cap / max(orig_h, orig_w)
+            return (max(1, round(orig_h * s)), max(1, round(orig_w * s)))
+        return (orig_h, orig_w)
+
+    # --- shared traced bodies (batch-first; the single-frame programs
+    # wrap them with [None]/[0], so single and batched results cannot
+    # drift) ------------------------------------------------------------
+
+    def _scale_tail_traced(self, paf, hm, padded_hw, crop_hw, post_hw):
+        """Last-stage maps -> postprocess-resolution maps: cubic to the
+        padded input size, crop the stride pad, cubic to the postprocess
+        size (ref ``pose_detector.py:461-467``).  Channel-last, batched."""
+        paf = resize_cv2_cubic(paf, padded_hw)
+        paf = paf[:, :crop_hw[0], :crop_hw[1]]
+        paf = resize_cv2_cubic(paf, post_hw)
+        hm = resize_cv2_cubic(hm, padded_hw)
+        hm = hm[:, :crop_hw[0], :crop_hw[1]]
+        hm = resize_cv2_cubic(hm, post_hw)
+        return paf, hm
+
+    def _pyramid_scale_maps_traced(self, variables, imgs_u8, scaled_hw,
+                                   padded_hw, post_hw):
+        """Device pyramid: (B, H, W, 3) ORIGINAL u8 frames -> one scale's
+        maps at postprocess resolution.
+
+        Bandwidth-first variant of the reference's host pyramid
+        (``pose_detector.py:441-445``): the original frame is uploaded
+        once for all scales (the remote-chip link here moves ~26 MB/s, so
+        shipping each scaled copy dominated precise-mode latency)."""
+        s_h, s_w = scaled_hw
+        p_h, p_w = padded_hw
+        pad_val = jnp.asarray(self.cfg.pad_value, jnp.float32)
+        img = resize_cv2_cubic(imgs_u8.astype(jnp.float32), (s_h, s_w))
+        # cv2 resizes in uint8 (round + saturate); emulate the
+        # quantization so downstream values match within 1 LSB.
+        img = jnp.clip(jnp.round(img), 0.0, 255.0)
+        img = jnp.pad(
+            img, ((0, 0), (0, p_h - s_h), (0, p_w - s_w), (0, 0)),
+            constant_values=0.0)
+        pad_mask = jnp.zeros((p_h, p_w, 1), jnp.float32)
+        pad_mask = pad_mask.at[:s_h, :s_w].set(1.0)
+        img = img * pad_mask + pad_val * (1.0 - pad_mask)
+        x = img / 255.0 - 0.5
+        pafs, heatmaps = self.model.apply(variables, x)
+        return self._scale_tail_traced(
+            pafs[-1], heatmaps[-1], padded_hw, scaled_hw, post_hw)
+
+    def _padded_scale_maps_traced(self, variables, imgs_u8, pad, post_hw):
+        """Host pyramid: (B, p_h, p_w, 3) frames already cv2-resized and
+        stride-padded on host (bit-exact cv2 uint8 semantics,
+        ``cfg.device_pyramid=False``) -> one scale's maps."""
+        p_h, p_w = imgs_u8.shape[1], imgs_u8.shape[2]
+        x = preprocess_u8(imgs_u8)
+        pafs, heatmaps = self.model.apply(variables, x)
+        return self._scale_tail_traced(
+            pafs[-1], heatmaps[-1], (p_h, p_w),
+            (p_h - pad[0], p_w - pad[1]), post_hw)
+
     def _scale_fn(self, padded_hw: Tuple[int, int],
                   pad: Tuple[int, int], orig_hw: Tuple[int, int]):
         key = (padded_hw, pad, orig_hw)
         if key not in self._scale_fns:
-            model = self.model
-            p_h, p_w = padded_hw
-            pad_b, pad_r = pad
-            o_h, o_w = orig_hw
 
             def fn(variables, img_u8):
-                x = preprocess_u8(img_u8)[None]
-                pafs, heatmaps = model.apply(variables, x)
-                paf = pafs[-1, 0]        # (h/8, w/8, 38)
-                hm = heatmaps[-1, 0]     # (h/8, w/8, 19)
-                # PAF: cubic to padded size, crop the pad, cubic to orig
-                # (ref ``:461-463``).
-                paf = resize_cv2_cubic(paf, (p_h, p_w))
-                paf = paf[:p_h - pad_b, :p_w - pad_r]
-                paf = resize_cv2_cubic(paf, (o_h, o_w))
-                # Heatmap: cubic x8 (== padded size), crop, cubic to orig
-                # (ref ``:465-467``).
-                hm = resize_cv2_cubic(hm, (p_h, p_w))
-                hm = hm[:p_h - pad_b, :p_w - pad_r]
-                hm = resize_cv2_cubic(hm, (o_h, o_w))
-                return paf, hm
+                paf, hm = self._padded_scale_maps_traced(
+                    variables, img_u8[None], pad, orig_hw)
+                return paf[0], hm[0]
 
             self._scale_fns[key] = jax.jit(fn)
         return self._scale_fns[key]
@@ -326,46 +375,17 @@ class PoseDetector:
     def _device_scale_fn(self, orig_hw: Tuple[int, int],
                          scaled_hw: Tuple[int, int],
                          padded_hw: Tuple[int, int]):
-        """Per-scale program taking the ORIGINAL u8 image: cubic resize +
-        u8 quantization + stride pad on device, then forward + map resize
-        back to original resolution.
-
-        Bandwidth-first variant of the reference's host pyramid
-        (``pose_detector.py:441-445``): the original frame is uploaded
-        once for all scales (the remote-chip link here moves ~26 MB/s, so
-        shipping each scaled copy dominated precise-mode latency).
-        """
+        """Single-frame device-pyramid program: the ORIGINAL u8 image in,
+        one scale's postprocess-resolution maps out (shared traced body
+        ``_pyramid_scale_maps_traced``)."""
         key = ("dev", orig_hw, scaled_hw, padded_hw)
         if key not in self._scale_fns:
-            model = self.model
-            o_h, o_w = orig_hw
-            s_h, s_w = scaled_hw
-            p_h, p_w = padded_hw
-            pad_val = jnp.asarray(self.cfg.pad_value, jnp.float32)
 
             def fn(variables, orig_u8):
-                img = resize_cv2_cubic(
-                    orig_u8.astype(jnp.float32), (s_h, s_w))
-                # cv2 resizes in uint8 (round + saturate); emulate the
-                # quantization so downstream values match within 1 LSB.
-                img = jnp.clip(jnp.round(img), 0.0, 255.0)
-                img = jnp.pad(
-                    img, ((0, p_h - s_h), (0, p_w - s_w), (0, 0)),
-                    constant_values=0.0)
-                pad_mask = jnp.zeros((p_h, p_w, 1), jnp.float32)
-                pad_mask = pad_mask.at[:s_h, :s_w].set(1.0)
-                img = img * pad_mask + pad_val * (1.0 - pad_mask)
-                x = (img / 255.0 - 0.5)[None]
-                pafs, heatmaps = model.apply(variables, x)
-                paf = pafs[-1, 0]
-                hm = heatmaps[-1, 0]
-                paf = resize_cv2_cubic(paf, (p_h, p_w))
-                paf = paf[:s_h, :s_w]
-                paf = resize_cv2_cubic(paf, (o_h, o_w))
-                hm = resize_cv2_cubic(hm, (p_h, p_w))
-                hm = hm[:s_h, :s_w]
-                hm = resize_cv2_cubic(hm, (o_h, o_w))
-                return paf, hm
+                paf, hm = self._pyramid_scale_maps_traced(
+                    variables, orig_u8[None], scaled_hw, padded_hw,
+                    orig_hw)
+                return paf[0], hm[0]
 
             self._scale_fns[key] = jax.jit(fn)
         return self._scale_fns[key]
@@ -379,43 +399,42 @@ class PoseDetector:
         scales."""
         key = ("bdev", batch, post_hw, scaled_hw, padded_hw)
         if key not in self._scale_fns:
-            model = self.model
-            o_h, o_w = post_hw
-            s_h, s_w = scaled_hw
-            p_h, p_w = padded_hw
-            pad_val = jnp.asarray(self.cfg.pad_value, jnp.float32)
 
             def fn(variables, orig_u8):      # (B, H, W, 3)
-                img = resize_cv2_cubic(
-                    orig_u8.astype(jnp.float32), (s_h, s_w))
-                img = jnp.clip(jnp.round(img), 0.0, 255.0)
-                img = jnp.pad(
-                    img, ((0, 0), (0, p_h - s_h), (0, p_w - s_w), (0, 0)),
-                    constant_values=0.0)
-                pad_mask = jnp.zeros((p_h, p_w, 1), jnp.float32)
-                pad_mask = pad_mask.at[:s_h, :s_w].set(1.0)
-                img = img * pad_mask + pad_val * (1.0 - pad_mask)
-                x = img / 255.0 - 0.5
-                pafs, heatmaps = model.apply(variables, x)
-                paf = pafs[-1]               # (B, h/8, w/8, 38)
-                hm = heatmaps[-1]
-                paf = resize_cv2_cubic(paf, (p_h, p_w))[:, :s_h, :s_w]
-                paf = resize_cv2_cubic(paf, (o_h, o_w))
-                hm = resize_cv2_cubic(hm, (p_h, p_w))[:, :s_h, :s_w]
-                hm = resize_cv2_cubic(hm, (o_h, o_w))
-                return paf, hm
+                return self._pyramid_scale_maps_traced(
+                    variables, orig_u8, scaled_hw, padded_hw, post_hw)
 
-            if self.mesh is not None:
-                from tpupose.parallel import batch_sharding, replicated
-
-                self._scale_fns[key] = jax.jit(
-                    fn,
-                    in_shardings=(replicated(self.mesh),
-                                  batch_sharding(self.mesh)),
-                    out_shardings=replicated(self.mesh))
-            else:
-                self._scale_fns[key] = jax.jit(fn)
+            self._scale_fns[key] = self._jit_batched(fn)
         return self._scale_fns[key]
+
+    def _batch_scale_fn_host(self, batch: int, padded_hw: Tuple[int, int],
+                             pad: Tuple[int, int],
+                             post_hw: Tuple[int, int]):
+        """Batched host-pyramid program (``cfg.device_pyramid=False``):
+        frames arrive cv2-resized + padded on host, bit-exact reference
+        uint8 semantics."""
+        key = ("bhost", batch, padded_hw, pad, post_hw)
+        if key not in self._scale_fns:
+
+            def fn(variables, imgs_u8):      # (B, p_h, p_w, 3)
+                return self._padded_scale_maps_traced(
+                    variables, imgs_u8, pad, post_hw)
+
+            self._scale_fns[key] = self._jit_batched(fn)
+        return self._scale_fns[key]
+
+    def _jit_batched(self, fn):
+        """jit with (replicated params, (B, H, ...) frames) shardings when
+        a mesh is attached — batch over 'data', frame height over
+        'spatial' (XLA inserts the conv halo exchanges)."""
+        if self.mesh is not None:
+            from tpupose.parallel import batch_sharding, replicated
+
+            return jax.jit(fn,
+                           in_shardings=(replicated(self.mesh),
+                                         batch_sharding(self.mesh)),
+                           out_shardings=replicated(self.mesh))
+        return jax.jit(fn)
 
     def _batch_avg_postprocess_fn(self, post_hw: Tuple[int, int],
                                   n_scales: int, batch: int):
@@ -442,24 +461,35 @@ class PoseDetector:
     def _detect_batch_precise(self, imgs: np.ndarray):
         import math
 
-        b, orig_h, orig_w = imgs.shape[:3]
-        cap = self.cfg.max_postprocess_len
-        if cap and max(orig_h, orig_w) > cap:
-            s = cap / max(orig_h, orig_w)
-            post_hw = (max(1, round(orig_h * s)), max(1, round(orig_w * s)))
-        else:
-            post_hw = (orig_h, orig_w)
+        import cv2
 
-        orig_dev = jnp.asarray(imgs)
+        b, orig_h, orig_w = imgs.shape[:3]
+        post_hw = self._postprocess_hw(orig_h, orig_w)
+
+        orig_dev = jnp.asarray(imgs) if self.cfg.device_pyramid else None
         paf_list, hm_list = [], []
         for scale in self.cfg.scales:
             multiplier = scale * self.cfg.img_size / min(orig_h, orig_w)
             scaled_hw = (math.ceil(orig_h * multiplier),
                          math.ceil(orig_w * multiplier))
-            padded_hw = (scaled_hw[0] + (-scaled_hw[0]) % self.cfg.downscale,
-                         scaled_hw[1] + (-scaled_hw[1]) % self.cfg.downscale)
-            fn = self._batch_scale_fn(b, post_hw, scaled_hw, padded_hw)
-            paf, hm = fn(self.variables, orig_dev)
+            if self.cfg.device_pyramid:
+                padded_hw = (
+                    scaled_hw[0] + (-scaled_hw[0]) % self.cfg.downscale,
+                    scaled_hw[1] + (-scaled_hw[1]) % self.cfg.downscale)
+                fn = self._batch_scale_fn(b, post_hw, scaled_hw, padded_hw)
+                paf, hm = fn(self.variables, orig_dev)
+            else:
+                padded = []
+                for img in imgs:
+                    scaled = cv2.resize(img, (scaled_hw[1], scaled_hw[0]),
+                                        interpolation=cv2.INTER_CUBIC)
+                    pimg, pad = pad_image_np(
+                        scaled, self.cfg.downscale, self.cfg.pad_value)
+                    padded.append(pimg)
+                padded = np.stack(padded)
+                fn = self._batch_scale_fn_host(
+                    b, padded.shape[1:3], pad, post_hw)
+                paf, hm = fn(self.variables, jnp.asarray(padded))
             paf_list.append(paf)
             hm_list.append(hm)
         fn = self._batch_avg_postprocess_fn(post_hw, len(self.cfg.scales), b)
@@ -490,14 +520,7 @@ class PoseDetector:
         import math
 
         orig_h, orig_w = orig_img.shape[:2]
-        # Postprocess resolution: original (reference parity) or capped
-        # (cfg.max_postprocess_len serving knob); poses rescale at emit.
-        cap = self.cfg.max_postprocess_len
-        if cap and max(orig_h, orig_w) > cap:
-            s = cap / max(orig_h, orig_w)
-            post_hw = (max(1, round(orig_h * s)), max(1, round(orig_w * s)))
-        else:
-            post_hw = (orig_h, orig_w)
+        post_hw = self._postprocess_hw(orig_h, orig_w)
 
         paf_list, hm_list = [], []
         orig_dev = (jnp.asarray(orig_img)

@@ -79,20 +79,28 @@ class ProgressBar:
         self._start_iter: Optional[int] = None
 
     def update(self, iteration: int) -> None:
-        if self._start_iter is None:
-            self._start_iter = iteration - 1
+        first = self._start_iter is None
+        if first:
+            # timing starts at the FIRST observed iteration: its own work
+            # happened before we saw it, so it anchors the window rather
+            # than being (mis)counted in it.
+            self._start_iter = iteration
             self._start = time.time()
         if iteration % self.interval and iteration != self.total:
             return
         frac = min(iteration / self.total, 1.0)
         filled = int(self.bar_length * frac)
         bar = "#" * filled + "." * (self.bar_length - filled)
-        elapsed = max(time.time() - self._start, 1e-9)
-        speed = (iteration - self._start_iter) / elapsed
-        eta = (self.total - iteration) / max(speed, 1e-9)
+        done = iteration - self._start_iter
+        if first or done <= 0:
+            rate = "   -- iters/sec  ETA --"
+        else:
+            speed = done / max(time.time() - self._start, 1e-9)
+            eta = (self.total - iteration) / max(speed, 1e-9)
+            rate = (f"{speed:.3f} iters/sec  "
+                    f"ETA {datetime.timedelta(seconds=int(eta))}")
         print(f"     total [{bar}] {100 * frac:.2f}%  "
-              f"{iteration}/{self.total} iter  {speed:.3f} iters/sec  "
-              f"ETA {datetime.timedelta(seconds=int(eta))}", flush=True)
+              f"{iteration}/{self.total} iter  {rate}", flush=True)
 
 
 def dump_computation_graph(out_dir: str, jitted_fn, *example_args) -> str:
