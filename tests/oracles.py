@@ -40,6 +40,45 @@ def oracle_peaks(heatmaps, cfg: InferenceConfig):
     return out
 
 
+def oracle_peaks_conv(heatmaps, cfg: InferenceConfig):
+    """The reference's *GPU* peak path (``pose_detector.py:112-133``):
+    zero-padded conv with the unnormalized ``create_gaussian_kernel``
+    (``:37-44``) density, ``>=`` 4-neighbor rule (plateaus emit every tied
+    pixel).  Full 2-D f64 convolution — deliberately NOT the separable
+    form the device kernel uses.  Same (x, y, score) row format as
+    :func:`oracle_peaks`."""
+    from scipy.ndimage import correlate
+
+    k, sigma = cfg.ksize, cfg.gaussian_sigma
+    center = int(k / 2)
+    grid_x = np.tile(np.arange(k), (k, 1))
+    grid_y = grid_x.T.copy()
+    d2 = (grid_x - center) ** 2 + (grid_y - center) ** 2
+    kernel = 1 / (sigma ** 2 * 2 * np.pi) * np.exp(-0.5 * d2 / sigma ** 2)
+
+    out = []
+    for hm in heatmaps:
+        smoothed = correlate(hm.astype(np.float64), kernel,
+                             mode="constant", cval=0.0)
+        left = np.zeros_like(smoothed)
+        right = np.zeros_like(smoothed)
+        top = np.zeros_like(smoothed)
+        bottom = np.zeros_like(smoothed)
+        left[1:, :] = smoothed[:-1, :]
+        right[:-1, :] = smoothed[1:, :]
+        top[:, 1:] = smoothed[:, :-1]
+        bottom[:, :-1] = smoothed[:, 1:]
+        mask = (
+            (smoothed > cfg.heatmap_peak_thresh)
+            & (smoothed >= left) & (smoothed >= right)
+            & (smoothed >= top) & (smoothed >= bottom)
+        )
+        ys, xs = np.nonzero(mask)
+        out.append([(int(x), int(y), float(smoothed[y, x]))
+                    for y, x in zip(ys, xs)])
+    return out
+
+
 def oracle_candidate_connections(paf, cand_a, cand_b, img_len,
                                  cfg: InferenceConfig):
     """paf: (2, H, W).  cand_a/cand_b: lists of (x, y, score).  Returns

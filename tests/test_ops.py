@@ -15,7 +15,7 @@ from tpupose.ops import (
     resize_cv2_linear,
 )
 
-from oracles import oracle_peaks
+from oracles import oracle_peaks, oracle_peaks_conv
 
 CFG = InferenceConfig(max_peaks_per_joint=16)
 
@@ -126,6 +126,67 @@ def test_find_peaks_matches_oracle():
             assert int(got.y[j, k]) == y
             np.testing.assert_allclose(float(got.score[j, k]), score,
                                        atol=1e-5)
+
+
+def test_gaussian_blur_conv_zero_matches_2d_kernel():
+    """Separable device form == the reference's full 2-D unnormalized
+    kernel (``pose_detector.py:37-44,112-113``), zero boundary."""
+    from scipy.ndimage import correlate
+    from tpupose.ops import gaussian_blur_conv_zero
+
+    rng = np.random.RandomState(11)
+    x = rng.rand(3, 30, 41).astype(np.float32)
+    sigma, k = 2.5, 17
+    center = int(k / 2)
+    gx = np.tile(np.arange(k), (k, 1))
+    d2 = (gx - center) ** 2 + (gx.T - center) ** 2
+    kern = 1 / (sigma ** 2 * 2 * np.pi) * np.exp(-0.5 * d2 / sigma ** 2)
+    ref = np.stack([correlate(c.astype(np.float64), kern,
+                              mode="constant", cval=0.0) for c in x])
+    got = np.asarray(gaussian_blur_conv_zero(jnp.asarray(x), sigma, k))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_find_peaks_conv_mode_matches_gpu_oracle():
+    rng = np.random.RandomState(7)
+    heatmaps = _synthetic_heatmaps(rng)
+    ref = oracle_peaks_conv(heatmaps, CFG)
+    got = find_peaks(jnp.asarray(heatmaps), CFG.gaussian_sigma,
+                     CFG.heatmap_peak_thresh, CFG.max_peaks_per_joint,
+                     mode="conv", ksize=CFG.ksize)
+    for j in range(NUM_JOINTS):
+        n = int(np.sum(np.asarray(got.valid[j])))
+        assert n == len(ref[j]), f"joint {j}: {n} vs {len(ref[j])}"
+        for k, (x, y, score) in enumerate(ref[j]):
+            assert int(got.x[j, k]) == x
+            assert int(got.y[j, k]) == y
+            np.testing.assert_allclose(float(got.score[j, k]), score,
+                                       atol=1e-5)
+
+
+def test_conv_mode_plateau_emits_ties_scipy_mode_none():
+    """Two impulses one pixel apart blur to an exactly tied 2-pixel
+    plateau: the GPU ``>=`` rule emits both, the CPU strict-``>`` rule
+    emits neither — the reference's own documented disagreement."""
+    hm = np.zeros((1, 25, 25), np.float32)
+    hm[0, 12, 11] = 3.0
+    hm[0, 12, 12] = 3.0
+    conv = find_peaks(jnp.asarray(hm), 2.5, 0.05, 8, mode="conv")
+    assert int(np.sum(np.asarray(conv.valid))) == 2
+    assert sorted((int(conv.x[0, i]), int(conv.y[0, i]))
+                  for i in range(2)) == [(11, 12), (12, 12)]
+    scipy_mode = find_peaks(jnp.asarray(hm), 2.5, 0.05, 8, mode="scipy")
+    assert int(np.sum(np.asarray(scipy_mode.valid))) == 0
+
+
+def test_find_peaks_mode_validation():
+    hm = jnp.zeros((1, 8, 8), jnp.float32)
+    with pytest.raises(ValueError):
+        find_peaks(hm, 2.5, 0.05, 4, mode="nope")
+    with pytest.raises(ValueError):
+        find_peaks(hm, 2.5, 0.05, 4, mode="conv", use_pallas=True)
+    with pytest.raises(ValueError):
+        find_peaks(hm, 2.5, 0.05, 4, mode="conv", ksize=16)  # even
 
 
 def test_global_argmax_keypoints():

@@ -193,6 +193,23 @@ def test_full_postprocess_matches_oracle_pipeline():
     assert int(result.num_peaks) == sum(len(p) for p in ref_peaks)
 
 
+def test_postprocess_respects_nms_mode():
+    """cfg.nms_mode plumbs through to the peak stage: a 2-pixel plateau is
+    two peaks under the GPU ``>=`` rule and none under the CPU rule."""
+    h, w = 46, 62
+    heatmaps = np.zeros((NUM_JOINTS + 1, h, w), np.float32)
+    heatmaps[0, 20, 30] = 3.0
+    heatmaps[0, 20, 31] = 3.0
+    pafs = jnp.zeros((2 * NUM_LIMBS, h, w))
+
+    conv = postprocess_pose(pafs, jnp.asarray(heatmaps), w,
+                            InferenceConfig(nms_mode="conv"))
+    assert int(conv.num_peaks) == 2
+    scipy_mode = postprocess_pose(pafs, jnp.asarray(heatmaps), w,
+                                  InferenceConfig())
+    assert int(scipy_mode.num_peaks) == 0
+
+
 def test_peak_capacity_saturation_is_counted():
     """>K peaks of one joint: the table truncates (known deviation) and
     the overflow is surfaced in Peaks.dropped / PoseResult.peaks_dropped."""

@@ -74,6 +74,15 @@ def _compute_dtype(args):
     return jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
 
 
+def _inference_cfg(args):
+    import dataclasses
+
+    from tpupose.config import INFERENCE
+
+    return dataclasses.replace(
+        INFERENCE, nms_mode=getattr(args, "nms_mode", "scipy"))
+
+
 def run_pose_batched(args):
     """Batched throughput mode: groups of ``--batch`` frames go through
     one fused device program (new capability; the reference is strictly
@@ -84,7 +93,7 @@ def run_pose_batched(args):
 
     _warn_if_random(args.weights, "posenet")
     detector = PoseDetector("posenet", weights_file=args.weights,
-                            precise=args.precise,
+                            precise=args.precise, cfg=_inference_cfg(args),
                             compute_dtype=_compute_dtype(args))
     cap = open_capture(args)
     emit = writer = None
@@ -132,7 +141,7 @@ def run_pose(args):
 
     _warn_if_random(args.weights, "posenet")
     detector = PoseDetector("posenet", weights_file=args.weights,
-                            precise=args.precise,
+                            precise=args.precise, cfg=_inference_cfg(args),
                             compute_dtype=_compute_dtype(args))
     cap = open_capture(args)
 
@@ -295,6 +304,11 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 network compute (faster; keypoints may "
                         "shift a pixel vs the f32 reference-parity path)")
+    p.add_argument("--nms-mode", choices=("scipy", "conv"), default="scipy",
+                   help="pose mode: peak NMS semantics — 'scipy' = the "
+                        "reference CPU path (golden-image parity target), "
+                        "'conv' = its GPU path (17x17 zero-pad conv, >= "
+                        "rule)")
     p.add_argument("--face-source", default="haar",
                    choices=("haar", "pose"),
                    help="face mode: locate faces via Haar cascade or via "

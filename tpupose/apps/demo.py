@@ -83,14 +83,23 @@ def main(argv=None):
                    help="bfloat16 network compute: ~20%% faster steps, but "
                         "map values shift ~1e-3 so keypoints may differ "
                         "from the f32 reference-parity path by a pixel")
+    p.add_argument("--nms-mode", choices=("scipy", "conv"), default="scipy",
+                   help="peak NMS semantics: 'scipy' = the reference CPU "
+                        "path (golden-image parity target), 'conv' = its "
+                        "GPU path (17x17 zero-pad conv, >= rule)")
     args = p.parse_args(argv)
+
+    import dataclasses
 
     import jax.numpy as jnp
 
+    from tpupose.config import INFERENCE
+
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg = dataclasses.replace(INFERENCE, nms_mode=args.nms_mode)
     pose_detector = PoseDetector(
         "posenet", weights_file=args.pose_weights, precise=args.precise,
-        compute_dtype=dtype)
+        cfg=cfg, compute_dtype=dtype)
     face_detector = FaceDetector("facenet", weights_file=args.face_weights,
                                  compute_dtype=dtype)
     hand_detector = HandDetector("handnet", weights_file=args.hand_weights,

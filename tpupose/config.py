@@ -148,12 +148,14 @@ class InferenceConfig:
     heatmap_size: int = 320      # postprocess map target size (fast path)
     downscale: int = 8           # network output stride
     gaussian_sigma: float = 2.5  # heatmap smoothing before peak NMS
-    # Deliberately unused: the reference's GPU path smooths with a 17x17
-    # zero-pad conv + ``>=`` NMS (``pose_detector.py:112-126``) that
-    # disagrees with its own CPU/SciPy path; this framework implements the
-    # CPU semantics only (the parity target that produced the golden
-    # images — SURVEY.md section 7(c)).  Kept so configs round-trip.
-    ksize: int = 17
+    # Which of the reference's two (mutually disagreeing) peak-NMS paths to
+    # reproduce: "scipy" = the CPU path (reflect-boundary Gaussian, strict
+    # ``>`` rule, ``pose_detector.py:82-110``) — the parity target that
+    # produced the golden images (SURVEY.md section 7(c)); "conv" = the GPU
+    # path (``ksize`` zero-pad unnormalized Gaussian conv, ``>=`` rule,
+    # ``:112-126``).
+    nms_mode: str = "scipy"
+    ksize: int = 17              # conv-mode smoothing kernel size
     n_integ_points: int = 10     # samples along each candidate limb
     n_integ_points_thresh: int = 8
     heatmap_peak_thresh: float = 0.05

@@ -1,4 +1,4 @@
-from tpupose.ops.gaussian import gaussian_blur_reflect
+from tpupose.ops.gaussian import gaussian_blur_conv_zero, gaussian_blur_reflect
 from tpupose.ops.grouping import (
     Subsets,
     group_keypoints,

@@ -34,6 +34,60 @@ def scipy_gaussian_kernel_1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
     return phi.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=32)
+def conv_gaussian_kernel_1d(sigma: float, ksize: int) -> np.ndarray:
+    """1-D factor of the reference GPU path's 2-D kernel.
+
+    ``create_gaussian_kernel`` (``pose_detector.py:37-44``) builds the
+    *unnormalized* 2-D density ``1/(2*pi*sigma^2) * exp(-d2/(2*sigma^2))``
+    on a ``ksize x ksize`` grid centered at ``int(ksize/2)``.  That grid is
+    exactly the outer product of this 1-D factor with itself
+    (``exp(-(dx^2+dy^2)) = exp(-dx^2) * exp(-dy^2)``), so the smoothing can
+    run separably on the VPU instead of as a 289-tap 2-D conv.
+    """
+    if ksize % 2 == 0:
+        raise ValueError(f"conv NMS smoothing needs odd ksize, got {ksize}")
+    center = ksize // 2
+    d = np.arange(ksize, dtype=np.float64) - center
+    phi = np.exp(-0.5 * (d / sigma) ** 2) / np.sqrt(2.0 * np.pi * sigma ** 2)
+    return phi.astype(np.float32)
+
+
+def gaussian_blur_conv_zero(heatmaps: jnp.ndarray, sigma: float,
+                            ksize: int) -> jnp.ndarray:
+    """Reference-GPU-parity smoothing: zero-padded ``ksize`` Gaussian conv.
+
+    Semantics of the reference's GPU branch (``pose_detector.py:112-113``):
+    ``F.convolution_2d(h, kernel, pad=ksize//2)`` with the unnormalized
+    kernel above — zero boundary (not reflect) and a kernel whose sum is
+    only ~1, so absolute map values differ slightly from the SciPy path.
+    Run as the same unrolled VPU shift-and-add as
+    :func:`gaussian_blur_reflect`, using the exact separable factors; equal
+    inputs produce bit-equal outputs (tap products are commutative adds),
+    which preserves the plateau ties the ``>=`` NMS rule depends on.
+
+    heatmaps: (..., H, W) -> same shape.
+    """
+    kernel = conv_gaussian_kernel_1d(sigma, ksize)
+    radius = ksize // 2
+    orig_shape = heatmaps.shape
+    h, w = orig_shape[-2], orig_shape[-1]
+    x = heatmaps.reshape((-1, h, w)).astype(jnp.float32)
+    taps = [float(t) for t in kernel]
+
+    xp = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)))
+    acc = None
+    for t, wgt in enumerate(taps):
+        sl = xp[:, t:t + h, :] * wgt
+        acc = sl if acc is None else acc + sl
+    yp = jnp.pad(acc, ((0, 0), (0, 0), (radius, radius)))
+    out = None
+    for t, wgt in enumerate(taps):
+        sl = yp[:, :, t:t + w] * wgt
+        out = sl if out is None else out + sl
+    return out.reshape(orig_shape)
+
+
 def gaussian_blur_reflect(heatmaps: jnp.ndarray, sigma: float,
                           truncate: float = 4.0) -> jnp.ndarray:
     """Separable Gaussian blur with scipy 'reflect' boundary.

@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tpupose.ops.gaussian import gaussian_blur_reflect
+from tpupose.ops.gaussian import gaussian_blur_conv_zero, gaussian_blur_reflect
 
 
 class Peaks(NamedTuple):
@@ -60,6 +60,24 @@ def nms_mask(smoothed: jnp.ndarray, thresh: float) -> jnp.ndarray:
     right = jnp.pad(h[..., :, 1:], [(0, 0)] * (h.ndim - 2) + [(0, 0), (0, 1)])
     return (
         (h > thresh) & (h > up) & (h > down) & (h > left) & (h > right)
+    )
+
+
+def nms_mask_ge(smoothed: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """4-neighbor ``>=`` local-max mask — the reference's GPU NMS rule.
+
+    Parity with ``pose_detector.py:123-126``: a pixel is a peak when it is
+    ``> thresh`` and ``>=`` all four neighbors (zero-padded shift buffers),
+    so equal-valued plateau neighbors *all* become peaks — unlike the
+    strict-``>`` CPU rule, which emits none of them.
+    """
+    h = smoothed
+    up = jnp.pad(h[..., :-1, :], [(0, 0)] * (h.ndim - 2) + [(1, 0), (0, 0)])
+    down = jnp.pad(h[..., 1:, :], [(0, 0)] * (h.ndim - 2) + [(0, 1), (0, 0)])
+    left = jnp.pad(h[..., :, :-1], [(0, 0)] * (h.ndim - 2) + [(0, 0), (1, 0)])
+    right = jnp.pad(h[..., :, 1:], [(0, 0)] * (h.ndim - 2) + [(0, 0), (0, 1)])
+    return (
+        (h > thresh) & (h >= up) & (h >= down) & (h >= left) & (h >= right)
     )
 
 
@@ -107,20 +125,39 @@ def extract_peaks(mask: jnp.ndarray, smoothed: jnp.ndarray,
 
 
 def find_peaks(heatmaps: jnp.ndarray, sigma: float, thresh: float,
-               max_peaks: int, use_pallas: bool = False) -> Peaks:
+               max_peaks: int, use_pallas: bool = False,
+               mode: str = "scipy", ksize: int = 17) -> Peaks:
     """Full peak pipeline: blur -> NMS -> static top-K extraction.
 
     heatmaps: (J, H, W) *without* the background channel (the reference
     drops it at ``pose_detector.py:78``).
 
-    ``use_pallas=True`` runs blur+NMS as one fused Pallas kernel
-    (``tpupose/ops/pallas/blur_nms.py``) — a single VMEM-resident pass per
-    joint channel.  The default is the XLA depthwise-conv path with
-    identical (SciPy-exact) semantics: measured on a v5e chip both are
-    bit-identical and XLA is faster at pose-map sizes (1.45 vs 2.63
+    ``mode`` selects which of the reference's two (mutually disagreeing)
+    NMS paths to reproduce:
+
+    * ``"scipy"`` (default) — the CPU path (``pose_detector.py:82-110``):
+      SciPy reflect-boundary Gaussian, strict-``>`` neighbor rule.  This is
+      the parity target that produced the golden images (SURVEY.md
+      section 7(c)).
+    * ``"conv"`` — the GPU path (``:112-126``): zero-padded ``ksize``
+      unnormalized Gaussian conv, ``>=`` neighbor rule (plateaus emit
+      every tied pixel).
+
+    ``use_pallas=True`` (scipy mode only) runs blur+NMS as one fused
+    Pallas kernel (``tpupose/ops/pallas/blur_nms.py``) — a single
+    VMEM-resident pass per joint channel.  The default is the XLA path
+    with identical (SciPy-exact) semantics: measured on a v5e chip both
+    are bit-identical and XLA is faster at pose-map sizes (1.45 vs 2.63
     ms/call at 18x46x62), so Pallas stays opt-in.
     """
-    if use_pallas:
+    if mode == "conv":
+        if use_pallas:
+            raise ValueError("use_pallas supports mode='scipy' only")
+        smoothed = gaussian_blur_conv_zero(heatmaps, sigma, ksize)
+        mask = nms_mask_ge(smoothed, thresh)
+    elif mode != "scipy":
+        raise ValueError(f"unknown peak NMS mode {mode!r}")
+    elif use_pallas:
         from tpupose.ops.pallas.blur_nms import blur_nms_pallas
 
         smoothed, mask = blur_nms_pallas(

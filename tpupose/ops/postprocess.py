@@ -52,7 +52,7 @@ def postprocess_pose(pafs: jnp.ndarray, heatmaps: jnp.ndarray,
     """
     peaks = find_peaks(
         heatmaps[:-1], cfg.gaussian_sigma, cfg.heatmap_peak_thresh,
-        cfg.max_peaks_per_joint)
+        cfg.max_peaks_per_joint, mode=cfg.nms_mode, ksize=cfg.ksize)
     connections = compute_connections(
         pafs, peaks, jnp.float32(img_len), cfg, _LIMBS_A, _LIMBS_B)
     subsets = group_keypoints(connections, peaks, cfg)
