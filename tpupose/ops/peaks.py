@@ -124,8 +124,15 @@ def extract_peaks(mask: jnp.ndarray, smoothed: jnp.ndarray,
     )
 
 
+# Map area above which the fused Pallas blur+NMS kernel beats the XLA
+# shift-and-add path on a real TPU (measured on a v5e, 18 channels:
+# 120x160 XLA 0.08 vs Pallas 0.23 ms; 320x426 0.94 vs 0.72; 584x584
+# 2.24 vs 1.66 — crossover between 160p and 240p maps).
+_PALLAS_MIN_AREA = 256 * 256
+
+
 def find_peaks(heatmaps: jnp.ndarray, sigma: float, thresh: float,
-               max_peaks: int, use_pallas: bool = False,
+               max_peaks: int, use_pallas: bool | None = None,
                mode: str = "scipy", ksize: int = 17) -> Peaks:
     """Full peak pipeline: blur -> NMS -> static top-K extraction.
 
@@ -143,12 +150,13 @@ def find_peaks(heatmaps: jnp.ndarray, sigma: float, thresh: float,
       unnormalized Gaussian conv, ``>=`` neighbor rule (plateaus emit
       every tied pixel).
 
-    ``use_pallas=True`` (scipy mode only) runs blur+NMS as one fused
-    Pallas kernel (``tpupose/ops/pallas/blur_nms.py``) — a single
-    VMEM-resident pass per joint channel.  The default is the XLA path
-    with identical (SciPy-exact) semantics: measured on a v5e chip both
-    are bit-identical and XLA is faster at pose-map sizes (1.45 vs 2.63
-    ms/call at 18x46x62), so Pallas stays opt-in.
+    ``use_pallas`` (scipy mode only) selects the fused Pallas blur+NMS
+    kernel (``tpupose/ops/pallas/blur_nms.py``) — a single VMEM-resident
+    pass per joint channel, bit-identical to the XLA path on chip.  The
+    default ``None`` picks whichever is measured faster: Pallas on a TPU
+    backend for maps >= ``_PALLAS_MIN_AREA`` (precise mode's
+    original-resolution maps), the XLA shift-and-add otherwise (small
+    fast-path/training maps, where kernel launch overhead dominates).
     """
     if mode == "conv":
         if use_pallas:
@@ -157,15 +165,20 @@ def find_peaks(heatmaps: jnp.ndarray, sigma: float, thresh: float,
         mask = nms_mask_ge(smoothed, thresh)
     elif mode != "scipy":
         raise ValueError(f"unknown peak NMS mode {mode!r}")
-    elif use_pallas:
-        from tpupose.ops.pallas.blur_nms import blur_nms_pallas
-
-        smoothed, mask = blur_nms_pallas(
-            heatmaps, sigma, thresh,
-            interpret=jax.default_backend() != "tpu")
     else:
-        smoothed = gaussian_blur_reflect(heatmaps, sigma)
-        mask = nms_mask(smoothed, thresh)
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and heatmaps.shape[-2] * heatmaps.shape[-1]
+                          >= _PALLAS_MIN_AREA)
+        if use_pallas:
+            from tpupose.ops.pallas.blur_nms import blur_nms_pallas
+
+            smoothed, mask = blur_nms_pallas(
+                heatmaps, sigma, thresh,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            smoothed = gaussian_blur_reflect(heatmaps, sigma)
+            mask = nms_mask(smoothed, thresh)
     return extract_peaks(mask, smoothed, max_peaks)
 
 
