@@ -210,6 +210,7 @@ class PoseDetector:
         if key not in self._fast_fns:
             cfg = self.cfg
             model = self.model
+            use_mesh = self.mesh is not None
 
             def fn(variables, imgs_u8):
                 x = preprocess_u8(imgs_u8)            # (B, H, W, 3)
@@ -218,14 +219,17 @@ class PoseDetector:
                 hm = resize_chainer(heatmaps[-1], map_hw)   # (B, h, w, 19)
 
                 def per_frame(p, h):
+                    # Under mesh shardings GSPMD cannot auto-partition a
+                    # Pallas custom call — pin the XLA peak path there.
                     return postprocess_pose(
                         jnp.transpose(p, (2, 0, 1)),
                         jnp.transpose(h, (2, 0, 1)),
-                        jnp.float32(map_hw[1]), cfg)
+                        jnp.float32(map_hw[1]), cfg,
+                        use_pallas=False if use_mesh else None)
 
                 return jax.vmap(per_frame)(paf, hm)
 
-            if self.mesh is not None:
+            if use_mesh:
                 from tpupose.parallel import batch_sharding, replicated
 
                 # (B, H, W, 3) frames shard batch over 'data' AND height

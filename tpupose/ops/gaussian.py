@@ -61,26 +61,46 @@ def gaussian_blur_conv_zero(heatmaps: jnp.ndarray, sigma: float,
     ``F.convolution_2d(h, kernel, pad=ksize//2)`` with the unnormalized
     kernel above — zero boundary (not reflect) and a kernel whose sum is
     only ~1, so absolute map values differ slightly from the SciPy path.
-    Run as the same unrolled VPU shift-and-add as
-    :func:`gaussian_blur_reflect`, using the exact separable factors; equal
-    inputs produce bit-equal outputs (tap products are commutative adds),
-    which preserves the plateau ties the ``>=`` NMS rule depends on.
+    Runs through the same :func:`_separable_blur` VPU shift-and-add with
+    the exact separable factors and zero padding.
 
     heatmaps: (..., H, W) -> same shape.
     """
     kernel = conv_gaussian_kernel_1d(sigma, ksize)
-    radius = ksize // 2
+    return _separable_blur(heatmaps, kernel, "constant")
+
+
+def _separable_blur(heatmaps: jnp.ndarray, kernel, pad_mode: str
+                    ) -> jnp.ndarray:
+    """Separable blur as unrolled f32 shift-and-add over statically
+    shifted slices — pure VPU work that XLA fuses into one pass per
+    axis.  A depthwise-conv formulation pads the single channel to the
+    MXU's 128-lane width (>100x wasted FLOPs) and, run at the
+    ``HIGHEST`` precision peak parity needs, costs ~20 ms at 584x584x18
+    on a v5e; this form is f32-exact by construction (same tap order as
+    the fused Pallas kernel, bit-identical on chip) and runs in well
+    under 1 ms.  Symmetric taps applied to equal inputs produce
+    bit-equal outputs (the per-position tap products are the same floats
+    added in commuting pairs), which preserves the plateau ties the
+    conv mode's ``>=`` NMS rule depends on.
+
+    heatmaps: (..., H, W) -> same shape, blurred over the last two axes.
+    """
+    radius = (len(kernel) - 1) // 2
     orig_shape = heatmaps.shape
     h, w = orig_shape[-2], orig_shape[-1]
     x = heatmaps.reshape((-1, h, w)).astype(jnp.float32)
     taps = [float(t) for t in kernel]
+    pad_kw = {} if pad_mode == "constant" else {"mode": pad_mode}
 
-    xp = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)))
+    # Rows (axis -2): (N, H+2r, W) -> (N, H, W).
+    xp = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)), **pad_kw)
     acc = None
     for t, wgt in enumerate(taps):
         sl = xp[:, t:t + h, :] * wgt
         acc = sl if acc is None else acc + sl
-    yp = jnp.pad(acc, ((0, 0), (0, 0), (radius, radius)))
+    # Cols (axis -1): (N, H, W+2r) -> (N, H, W).
+    yp = jnp.pad(acc, ((0, 0), (0, 0), (radius, radius)), **pad_kw)
     out = None
     for t, wgt in enumerate(taps):
         sl = yp[:, :, t:t + w] * wgt
@@ -93,32 +113,6 @@ def gaussian_blur_reflect(heatmaps: jnp.ndarray, sigma: float,
     """Separable Gaussian blur with scipy 'reflect' boundary.
 
     heatmaps: (..., H, W) -> same shape, blurred over the last two axes.
-
-    Implemented as unrolled f32 shift-and-add over statically shifted
-    slices — pure VPU work that XLA fuses into one pass per axis.  A
-    depthwise-conv formulation pads the single channel to the MXU's
-    128-lane width (>100x wasted FLOPs) and, run at the ``HIGHEST``
-    precision peak parity needs, costs ~20 ms at 584x584x18 on a v5e;
-    this form is f32-exact by construction (same tap order as the fused
-    Pallas kernel, bit-identical on chip) and runs in well under 1 ms.
     """
     kernel = scipy_gaussian_kernel_1d(sigma, truncate)
-    radius = (len(kernel) - 1) // 2
-    orig_shape = heatmaps.shape
-    h, w = orig_shape[-2], orig_shape[-1]
-    x = heatmaps.reshape((-1, h, w)).astype(jnp.float32)
-    taps = [float(t) for t in kernel]
-
-    # Rows (axis -2): (N, H+2r, W) -> (N, H, W).
-    xp = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)), mode="symmetric")
-    acc = None
-    for t, wgt in enumerate(taps):
-        sl = xp[:, t:t + h, :] * wgt
-        acc = sl if acc is None else acc + sl
-    # Cols (axis -1): (N, H, W+2r) -> (N, H, W).
-    yp = jnp.pad(acc, ((0, 0), (0, 0), (radius, radius)), mode="symmetric")
-    out = None
-    for t, wgt in enumerate(taps):
-        sl = yp[:, :, t:t + w] * wgt
-        out = sl if out is None else out + sl
-    return out.reshape(orig_shape)
+    return _separable_blur(heatmaps, kernel, "symmetric")

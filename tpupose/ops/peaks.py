@@ -154,9 +154,11 @@ def find_peaks(heatmaps: jnp.ndarray, sigma: float, thresh: float,
     kernel (``tpupose/ops/pallas/blur_nms.py``) — a single VMEM-resident
     pass per joint channel, bit-identical to the XLA path on chip.  The
     default ``None`` picks whichever is measured faster: Pallas on a TPU
-    backend for maps >= ``_PALLAS_MIN_AREA`` (precise mode's
-    original-resolution maps), the XLA shift-and-add otherwise (small
-    fast-path/training maps, where kernel launch overhead dominates).
+    backend for maps >= ``_PALLAS_MIN_AREA`` — which covers BOTH precise
+    mode's original-resolution maps and the fast path's 320-based maps
+    (320x426: 0.72 vs 0.94 ms) — and the XLA shift-and-add otherwise
+    (training/eval-sized maps under ~256², where kernel launch overhead
+    dominates).
     """
     if mode == "conv":
         if use_pallas:

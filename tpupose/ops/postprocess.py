@@ -44,15 +44,20 @@ _LIMBS_B = LIMBS_TO
 
 
 def postprocess_pose(pafs: jnp.ndarray, heatmaps: jnp.ndarray,
-                     img_len, cfg: InferenceConfig) -> PoseResult:
+                     img_len, cfg: InferenceConfig,
+                     use_pallas: bool | None = None) -> PoseResult:
     """pafs: (38, H, W); heatmaps: (19, H, W) — both already resized to the
     postprocess map size.  ``img_len`` is the map width (fast path,
     ``pose_detector.py:511``) or the original image width (precise path,
-    ``:478``), used by the PAF distance prior.
+    ``:478``), used by the PAF distance prior.  ``use_pallas`` forwards
+    to :func:`find_peaks` (None = auto by backend + map area; callers
+    compiling under GSPMD shardings pass False — a Pallas custom call is
+    not auto-partitionable across a real multi-chip mesh).
     """
     peaks = find_peaks(
         heatmaps[:-1], cfg.gaussian_sigma, cfg.heatmap_peak_thresh,
-        cfg.max_peaks_per_joint, mode=cfg.nms_mode, ksize=cfg.ksize)
+        cfg.max_peaks_per_joint, use_pallas=use_pallas,
+        mode=cfg.nms_mode, ksize=cfg.ksize)
     connections = compute_connections(
         pafs, peaks, jnp.float32(img_len), cfg, _LIMBS_A, _LIMBS_B)
     subsets = group_keypoints(connections, peaks, cfg)
