@@ -161,6 +161,44 @@ class TestBatchedDetect:
         assert int(cap.get(CV2.CAP_PROP_FRAME_COUNT)) == 6
         cap.release()
 
+    def test_camera_mesh_flag_builds_sharded_detector(self, tmp_path,
+                                                      monkeypatch):
+        """--mesh DxS reaches PoseDetector as a real (data, spatial) Mesh
+        on the virtual 8-device CPU backend; misuse without --batch is
+        rejected."""
+        import pytest
+
+        import tpupose.detectors as det_mod
+        from tpupose.apps import camera
+
+        video = str(tmp_path / "in.mp4")
+        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (124, 92))
+        rng = np.random.RandomState(0)
+        for _ in range(4):
+            wr.write(rng.randint(0, 255, (92, 124, 3), dtype=np.uint8))
+        wr.release()
+
+        stub = _stub_detector()   # build BEFORE patching (it constructs one)
+        seen = {}
+
+        def fake_detector(*a, **kw):
+            seen.update(kw)
+            return stub
+
+        monkeypatch.setattr(det_mod, "PoseDetector", fake_detector)
+        camera.main(["pose", "--video", video, "--headless",
+                     "--batch", "4", "--mesh", "4x2", "--max-frames", "4"])
+        mesh = seen["mesh"]
+        assert mesh.shape == {"data": 4, "spatial": 2}
+
+        with pytest.raises(SystemExit):
+            camera.main(["pose", "--video", video, "--headless",
+                         "--mesh", "4x2"])
+        with pytest.raises(SystemExit):
+            camera.main(["pose", "--video", video, "--headless",
+                         "--batch", "4", "--mesh", "banana"])
+
 
 class TestMeshedBatchDetect:
     def test_mesh_batch_matches_unsharded(self):

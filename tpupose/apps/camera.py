@@ -83,6 +83,20 @@ def _inference_cfg(args):
         INFERENCE, nms_mode=getattr(args, "nms_mode", "scipy"))
 
 
+def _parse_mesh(spec):
+    """'DATAxSPATIAL' (e.g. '4x2') -> jax.sharding.Mesh, or None."""
+    if not spec:
+        return None
+    from tpupose.parallel import make_mesh
+
+    try:
+        n_data, n_spatial = (int(v) for v in spec.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"--mesh expects DATAxSPATIAL (e.g. 4x2), "
+                         f"got {spec!r}")
+    return make_mesh(n_data=n_data, n_spatial=n_spatial)
+
+
 def run_pose_batched(args):
     """Batched throughput mode: groups of ``--batch`` frames go through
     one fused device program (new capability; the reference is strictly
@@ -94,7 +108,8 @@ def run_pose_batched(args):
     _warn_if_random(args.weights, "posenet")
     detector = PoseDetector("posenet", weights_file=args.weights,
                             precise=args.precise, cfg=_inference_cfg(args),
-                            compute_dtype=_compute_dtype(args))
+                            compute_dtype=_compute_dtype(args),
+                            mesh=_parse_mesh(args.mesh))
     cap = open_capture(args)
     emit = writer = None
     n_frames = 0
@@ -297,6 +312,12 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--batch", type=int, default=1,
                    help="pose mode: frames per fused device batch")
+    p.add_argument("--mesh",
+                   help="pose batch mode: shard the batch over a "
+                        "DATAxSPATIAL device mesh (e.g. 4x2 = batch over "
+                        "4 chips, frame height over 2); frames ride the "
+                        "mesh via pjit, params replicated — the "
+                        "reference is strictly single-device")
     p.add_argument("--precise", action="store_true",
                    help="pose mode: multi-scale precise inference, "
                         "software-pipelined across frames (the reference's "
@@ -316,6 +337,9 @@ def main(argv=None):
     p.add_argument("--pose-weights",
                    help="face mode with --face-source pose: posenet .npz")
     args = p.parse_args(argv)
+    if args.mesh and (args.mode != "pose" or args.batch <= 1):
+        raise SystemExit("--mesh requires pose mode with --batch > 1 "
+                         "(the mesh shards fused frame batches)")
     (run_pose if args.mode == "pose" else run_face)(args)
 
 
