@@ -188,9 +188,11 @@ class TestBatchedDetect:
 
         monkeypatch.setattr(det_mod, "PoseDetector", fake_detector)
         camera.main(["pose", "--video", video, "--headless",
-                     "--batch", "4", "--mesh", "4x2", "--max-frames", "4"])
+                     "--batch", "4", "--mesh", "4x2", "--max-frames", "4",
+                     "--nms-mode", "conv"])
         mesh = seen["mesh"]
         assert mesh.shape == {"data": 4, "spatial": 2}
+        assert seen["cfg"].nms_mode == "conv"   # --nms-mode plumbs through
 
         with pytest.raises(SystemExit):
             camera.main(["pose", "--video", video, "--headless",
