@@ -133,3 +133,43 @@ class TestEvalHarness:
         for r in results:
             assert len(r["keypoints"]) == 51
             assert r["image_id"] in (1, 2)
+
+    def test_evaluate_pipelined_matches_serial(self):
+        """submit/collect pipelining must not change metrics or results
+        (it only overlaps host scoring with device compute)."""
+        from test_eval_apps import _stub_pose_detector
+
+        from tpupose.apps.evaluate import evaluate_detector
+
+        rng = np.random.RandomState(1)
+        imgs = [rng.randint(0, 255, (92, 124, 3), dtype=np.uint8)
+                for _ in range(5)]
+
+        class DeterministicEvalDataset:
+            def __len__(self):
+                return len(imgs)
+
+            def eval_sample(self, i):
+                kpts = []
+                for j in range(17):
+                    kpts += [20 + 4 * j + i, 30 + 2 * j, 2]
+                gts = [{"keypoints": kpts, "num_keypoints": 17,
+                        "area": 2000.0, "iscrowd": 0,
+                        "bbox": [20, 30, 70, 40]}]
+                return imgs[i], gts, i + 1
+
+        det = _stub_pose_detector()
+        m_serial, r_serial = evaluate_detector(
+            det, DeterministicEvalDataset(), verbose=False,
+            pipeline_depth=0)
+        m_pipe, r_pipe = evaluate_detector(
+            det, DeterministicEvalDataset(), verbose=False,
+            pipeline_depth=2)
+        for k in m_serial:
+            if k != "seconds_per_image":
+                assert m_serial[k] == m_pipe[k], k
+        assert len(r_serial) == len(r_pipe)
+        for a, b in zip(r_serial, r_pipe):
+            assert a["image_id"] == b["image_id"]
+            np.testing.assert_allclose(a["keypoints"], b["keypoints"])
+            np.testing.assert_allclose(a["score"], b["score"])

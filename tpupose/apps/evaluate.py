@@ -18,24 +18,53 @@ import json
 import time
 
 
-def evaluate_detector(detector, dataset, limit=None, verbose=True):
+def evaluate_detector(detector, dataset, limit=None, verbose=True,
+                      pipeline_depth: int = 2):
     """Run ``detector`` over ``dataset`` (eval mode); returns (metrics,
-    results list)."""
+    results list).
+
+    Uses the detector's async ``submit``/``collect`` API to keep
+    ``pipeline_depth`` frames in flight, overlapping host-side annotation
+    parsing and OKS scoring with device compute (the same software
+    pipelining as the streaming camera path; set ``pipeline_depth=0`` for
+    strictly serial execution).
+    """
     from tpupose.evaluation import KeypointEvaluator, poses_to_results
 
     evaluator = KeypointEvaluator()
     results = []
     n = len(dataset) if limit is None else min(limit, len(dataset))
     t0 = time.perf_counter()
-    for i in range(n):
-        img, gts, img_id = dataset.eval_sample(i)
-        poses, scores = detector(img)
+
+    can_pipeline = pipeline_depth > 0 and hasattr(detector, "submit")
+    pending = []        # [(handle, gts, img_id)]
+
+    def drain_one():
+        handle, gts, img_id = pending.pop(0)
+        poses, scores = detector.collect(handle)
         dts = poses_to_results(poses, scores, img_id)
         results.extend(dts)
         evaluator.add_image(dts, gts)
-        if verbose and (i + 1) % 20 == 0:
+
+    done = 0
+    for i in range(n):
+        img, gts, img_id = dataset.eval_sample(i)
+        if can_pipeline:
+            pending.append((detector.submit(img), gts, img_id))
+            if len(pending) > pipeline_depth:
+                drain_one()
+                done += 1
+        else:
+            poses, scores = detector(img)
+            dts = poses_to_results(poses, scores, img_id)
+            results.extend(dts)
+            evaluator.add_image(dts, gts)
+            done += 1
+        if verbose and done and done % 20 == 0:
             dt = time.perf_counter() - t0
-            print(f"  [{i + 1}/{n}] {dt / (i + 1):.2f}s/img")
+            print(f"  [{done}/{n}] {dt / done:.2f}s/img")
+    while pending:
+        drain_one()
     metrics = evaluator.summarize()
     metrics["images"] = n
     metrics["seconds_per_image"] = (time.perf_counter() - t0) / max(n, 1)
