@@ -22,7 +22,6 @@ grouping -> pose arrays on host.
 
 import argparse
 import json
-import math
 import os
 import sys
 import time
@@ -176,13 +175,8 @@ def device_breakdown(det, img, n: int = 4) -> dict:
     total_flops = 0.0
     scales = []
     paf_list, hm_list = [], []
-    for scale in cfg.scales:
-        multiplier = scale * cfg.img_size / min(orig_h, orig_w)
-        scaled_hw = (math.ceil(orig_h * multiplier),
-                     math.ceil(orig_w * multiplier))
-        pad_b = (-scaled_hw[0]) % cfg.downscale
-        pad_r = (-scaled_hw[1]) % cfg.downscale
-        padded_hw = (scaled_hw[0] + pad_b, scaled_hw[1] + pad_r)
+    for scale, scaled_hw, padded_hw in det._pyramid_geometries(
+            orig_h, orig_w):
         fn = det._device_scale_fn(post_hw, scaled_hw, padded_hw)
         t1, per, (paf, hm) = _timed_calls(
             lambda: fn(det.variables, orig_dev), sync, n)

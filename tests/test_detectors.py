@@ -161,6 +161,15 @@ class TestBatchedDetect:
         assert int(cap.get(CV2.CAP_PROP_FRAME_COUNT)) == 6
         cap.release()
 
+        # --max-frames not divisible by --batch: the cap must be exact
+        # (the final batch runs partial), not rounded up to a full batch
+        out2 = str(tmp_path / "out2.mp4")
+        camera.main(["pose", "--video", video, "--headless", "--save", out2,
+                     "--batch", "4", "--max-frames", "5"])
+        cap = CV2.VideoCapture(out2)
+        assert int(cap.get(CV2.CAP_PROP_FRAME_COUNT)) == 5
+        cap.release()
+
     def test_camera_mesh_flag_builds_sharded_detector(self, tmp_path,
                                                       monkeypatch):
         """--mesh DxS reaches PoseDetector as a real (data, spatial) Mesh

@@ -119,6 +119,8 @@ def run_pose_batched(args):
     while True:
         frames = []
         while len(frames) < args.batch:
+            if args.max_frames and n_frames + len(frames) >= args.max_frames:
+                break
             ret, img = cap.read()
             if not ret:
                 break

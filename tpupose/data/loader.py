@@ -12,6 +12,7 @@ shardings.
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
 from typing import Iterator
@@ -70,7 +71,7 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, max_persons: int = None,
                  shuffle: bool = True, repeat: bool = True,
                  num_workers: int = 0, prefetch: int = 2, seed: int = 0,
-                 mesh=None):
+                 mesh=None, worker_timeout: float = 300.0):
         self.dataset = dataset
         self.batch_size = batch_size
         if max_persons is None:
@@ -85,6 +86,7 @@ class BatchLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.mesh = mesh
+        self.worker_timeout = worker_timeout
         self._rng = np.random.RandomState(seed)
         self._pool = None
         if num_workers > 0:
@@ -144,7 +146,18 @@ class BatchLoader:
                         self._pool.apply_async(_worker_sample, (i,)))
                 if not inflight:
                     return
-                s = inflight.popleft().get()
+                # Timeout guards against HARD worker deaths (segfault /
+                # OOM-kill): apply_async results of a dead worker never
+                # complete, unlike Python exceptions (which propagate via
+                # _worker_sample) — without it training would hang forever.
+                try:
+                    s = inflight.popleft().get(timeout=self.worker_timeout)
+                except multiprocessing.TimeoutError:
+                    raise RuntimeError(
+                        f"data worker produced no sample within "
+                        f"{self.worker_timeout}s — a worker process likely "
+                        "died hard (segfault/OOM-kill); restart with fewer "
+                        "workers or a larger worker_timeout")
                 if s is not None:
                     yield s
         else:

@@ -462,9 +462,25 @@ class PoseDetector:
             self._avg_fns[key] = jax.jit(fn)
         return self._avg_fns[key]
 
-    def _detect_batch_precise(self, imgs: np.ndarray):
+    def _pyramid_geometries(self, orig_h: int, orig_w: int):
+        """Per-scale (scale, scaled_hw, padded_hw) of the precise pyramid
+        (ref ``pose_detector.py:441-445``) — the ONE place this
+        arithmetic lives, shared by the single-frame and batched loops so
+        they cannot drift."""
         import math
 
+        out = []
+        for scale in self.cfg.scales:
+            multiplier = scale * self.cfg.img_size / min(orig_h, orig_w)
+            scaled_hw = (math.ceil(orig_h * multiplier),
+                         math.ceil(orig_w * multiplier))
+            padded_hw = (
+                scaled_hw[0] + (-scaled_hw[0]) % self.cfg.downscale,
+                scaled_hw[1] + (-scaled_hw[1]) % self.cfg.downscale)
+            out.append((scale, scaled_hw, padded_hw))
+        return out
+
+    def _detect_batch_precise(self, imgs: np.ndarray):
         import cv2
 
         b, orig_h, orig_w = imgs.shape[:3]
@@ -472,14 +488,9 @@ class PoseDetector:
 
         orig_dev = jnp.asarray(imgs) if self.cfg.device_pyramid else None
         paf_list, hm_list = [], []
-        for scale in self.cfg.scales:
-            multiplier = scale * self.cfg.img_size / min(orig_h, orig_w)
-            scaled_hw = (math.ceil(orig_h * multiplier),
-                         math.ceil(orig_w * multiplier))
+        for scale, scaled_hw, padded_hw in self._pyramid_geometries(
+                orig_h, orig_w):
             if self.cfg.device_pyramid:
-                padded_hw = (
-                    scaled_hw[0] + (-scaled_hw[0]) % self.cfg.downscale,
-                    scaled_hw[1] + (-scaled_hw[1]) % self.cfg.downscale)
                 fn = self._batch_scale_fn(b, post_hw, scaled_hw, padded_hw)
                 paf, hm = fn(self.variables, orig_dev)
             else:
@@ -521,7 +532,6 @@ class PoseDetector:
         per-scale original-resolution map lists (device arrays) and the
         postprocess resolution."""
         import cv2
-        import math
 
         orig_h, orig_w = orig_img.shape[:2]
         post_hw = self._postprocess_hw(orig_h, orig_w)
@@ -529,14 +539,9 @@ class PoseDetector:
         paf_list, hm_list = [], []
         orig_dev = (jnp.asarray(orig_img)
                     if self.cfg.device_pyramid else None)
-        for scale in self.cfg.scales:
-            multiplier = scale * self.cfg.img_size / min(orig_h, orig_w)
-            scaled_hw = (math.ceil(orig_h * multiplier),
-                         math.ceil(orig_w * multiplier))
+        for scale, scaled_hw, padded_hw in self._pyramid_geometries(
+                orig_h, orig_w):
             if self.cfg.device_pyramid:
-                pad_b = (-scaled_hw[0]) % self.cfg.downscale
-                pad_r = (-scaled_hw[1]) % self.cfg.downscale
-                padded_hw = (scaled_hw[0] + pad_b, scaled_hw[1] + pad_r)
                 fn = self._device_scale_fn(post_hw, scaled_hw, padded_hw)
                 paf, hm = fn(self.variables, orig_dev)
             else:

@@ -8,10 +8,14 @@ joint channel's (pre-padded) heatmap resident in VMEM and does everything
 in a single pass:
 
 * separable Gaussian evaluated as unrolled VPU multiply-adds over
-  statically shifted slices — float32 exact, so results match the
-  XLA/SciPy CPU parity path bit-for-bit (an MXU matmul formulation would
-  run through bf16 passes and perturb values by ~1e-3, enough to flip NMS
-  comparisons);
+  statically shifted slices — same tap order as the XLA path, measured
+  bit-identical to it ON TPU (an MXU matmul formulation would run
+  through bf16 passes and perturb values by ~1e-3, enough to flip NMS
+  comparisons).  In *interpret* mode on CPU the two paths can differ by
+  1 ulp (~1e-7: the interpreter may contract multiply-adds to FMAs),
+  which is why CPU parity tests compare with a small atol rather than
+  exactly — and why auto-selection (``find_peaks(use_pallas=None)``)
+  never picks this kernel off-TPU;
 * strict-greater 4-neighbor NMS with zero borders (VPU selects).
 
 Grid: (joint channel) x (row tiles).  Row tiling keeps VMEM bounded for

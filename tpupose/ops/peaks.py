@@ -48,16 +48,25 @@ class Peaks(NamedTuple):
         return jnp.sum(self.valid, axis=1)
 
 
+def _neighbor_shifts(h: jnp.ndarray):
+    """Zero-padded 4-neighbor shift buffers (up, down, left, right) — the
+    reference's ``map_left/right/top/bottom`` construction
+    (``pose_detector.py:87-102``, shared by both its NMS rules)."""
+    lead = [(0, 0)] * (h.ndim - 2)
+    up = jnp.pad(h[..., :-1, :], lead + [(1, 0), (0, 0)])
+    down = jnp.pad(h[..., 1:, :], lead + [(0, 1), (0, 0)])
+    left = jnp.pad(h[..., :, :-1], lead + [(0, 0), (1, 0)])
+    right = jnp.pad(h[..., :, 1:], lead + [(0, 0), (0, 1)])
+    return up, down, left, right
+
+
 def nms_mask(smoothed: jnp.ndarray, thresh: float) -> jnp.ndarray:
     """4-neighbor strict local-max mask with zero borders.
 
     smoothed: (..., H, W) -> bool mask of the same shape.
     """
     h = smoothed
-    up = jnp.pad(h[..., :-1, :], [(0, 0)] * (h.ndim - 2) + [(1, 0), (0, 0)])
-    down = jnp.pad(h[..., 1:, :], [(0, 0)] * (h.ndim - 2) + [(0, 1), (0, 0)])
-    left = jnp.pad(h[..., :, :-1], [(0, 0)] * (h.ndim - 2) + [(0, 0), (1, 0)])
-    right = jnp.pad(h[..., :, 1:], [(0, 0)] * (h.ndim - 2) + [(0, 0), (0, 1)])
+    up, down, left, right = _neighbor_shifts(h)
     return (
         (h > thresh) & (h > up) & (h > down) & (h > left) & (h > right)
     )
@@ -72,10 +81,7 @@ def nms_mask_ge(smoothed: jnp.ndarray, thresh: float) -> jnp.ndarray:
     strict-``>`` CPU rule, which emits none of them.
     """
     h = smoothed
-    up = jnp.pad(h[..., :-1, :], [(0, 0)] * (h.ndim - 2) + [(1, 0), (0, 0)])
-    down = jnp.pad(h[..., 1:, :], [(0, 0)] * (h.ndim - 2) + [(0, 1), (0, 0)])
-    left = jnp.pad(h[..., :, :-1], [(0, 0)] * (h.ndim - 2) + [(0, 0), (1, 0)])
-    right = jnp.pad(h[..., :, 1:], [(0, 0)] * (h.ndim - 2) + [(0, 0), (0, 1)])
+    up, down, left, right = _neighbor_shifts(h)
     return (
         (h > thresh) & (h >= up) & (h >= down) & (h >= left) & (h >= right)
     )
