@@ -107,22 +107,32 @@ def _program_flops(jitted, *args):
         return None
 
 
-def _timed_calls(fn_call, sync, n: int):
+def _timed_calls(fn_call, sync, n: int, windows: int = 3):
     """(one-call time, derived per-call device time, last output):
     dispatch 1 then n back-to-back async calls, syncing once; on a
     high-latency link the difference isolates queue-overlapped device
-    execution from the round-trip."""
-    t0 = time.perf_counter()
-    sync(fn_call())
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
+    execution from the round-trip.  Best-of-``windows``: a tunnel
+    latency spike during either sync makes a single window's subtraction
+    garbage (even negative), so take the smallest POSITIVE estimate and
+    fall back to the raw n-call average if none survives."""
+    best = None
+    fallback = None
     out = None
-    for _ in range(n):
-        out = fn_call()
-    sync(out)
-    tn = time.perf_counter() - t0
-    per_call = max((tn - t1) / max(n - 1, 1), 1e-9)
-    return t1, per_call, out
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        sync(fn_call())
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn_call()
+        sync(out)
+        tn = time.perf_counter() - t0
+        per_call = (tn - t1) / max(n - 1, 1)
+        raw = tn / n
+        fallback = raw if fallback is None else min(fallback, raw)
+        if per_call > 1e-6:
+            best = per_call if best is None else min(best, per_call)
+    return t1, best if best is not None else fallback, out
 
 
 def device_breakdown(det, img, n: int = 4) -> dict:
