@@ -204,22 +204,28 @@ class TestBatchLoader:
         assert batches[0].ignore_mask.shape == (2, 128, 128)
 
 
+def _coco_root(mini_coco, tmp_path, val=True):
+    """Symlink ``mini_coco`` into the annotations/train2017/val2017 layout
+    the CLIs expect — the ONE place this tree is built."""
+    coco_root = tmp_path / "coco"
+    (coco_root / "annotations").mkdir(parents=True)
+    os.symlink(mini_coco["ann"],
+               coco_root / "annotations" / "person_keypoints_train2017.json")
+    os.symlink(mini_coco["img_dir"], coco_root / "train2017")
+    if val:
+        os.symlink(mini_coco["ann"],
+                   coco_root / "annotations" /
+                   "person_keypoints_val2017.json")
+        os.symlink(mini_coco["img_dir"], coco_root / "val2017")
+    return coco_root
+
+
 class TestTrainCLI:
     def test_smoke_train(self, mini_coco, tmp_path):
         """2 iterations end-to-end through the CLI main()."""
         from tpupose.apps import train_cli
 
-        coco_root = tmp_path / "coco"
-        (coco_root / "annotations").mkdir(parents=True)
-        os.symlink(mini_coco["ann"],
-                   coco_root / "annotations" /
-                   "person_keypoints_train2017.json")
-        os.symlink(mini_coco["ann"],
-                   coco_root / "annotations" /
-                   "person_keypoints_val2017.json")
-        os.symlink(mini_coco["img_dir"], coco_root / "train2017")
-        os.symlink(mini_coco["img_dir"], coco_root / "val2017")
-
+        coco_root = _coco_root(mini_coco, tmp_path)
         out = str(tmp_path / "result")
         train_cli.main([
             "--coco_dir", str(coco_root), "--out", out, "--test",
@@ -243,16 +249,7 @@ class TestTrainCLI:
 
         from tpupose.apps import train_cli
 
-        coco_root = tmp_path / "coco"
-        (coco_root / "annotations").mkdir(parents=True)
-        os.symlink(mini_coco["ann"],
-                   coco_root / "annotations" /
-                   "person_keypoints_train2017.json")
-        os.symlink(mini_coco["ann"],
-                   coco_root / "annotations" /
-                   "person_keypoints_val2017.json")
-        os.symlink(mini_coco["img_dir"], coco_root / "train2017")
-        os.symlink(mini_coco["img_dir"], coco_root / "val2017")
+        coco_root = _coco_root(mini_coco, tmp_path)
 
         calls = {"n": 0}
         real = jax.device_get
@@ -281,12 +278,7 @@ class TestDataViz:
     def test_render_panel_and_cli(self, mini_coco, tmp_path):
         from tpupose.apps import data_viz
 
-        coco_root = tmp_path / "coco"
-        (coco_root / "annotations").mkdir(parents=True)
-        os.symlink(mini_coco["ann"],
-                   coco_root / "annotations" /
-                   "person_keypoints_train2017.json")
-        os.symlink(mini_coco["img_dir"], coco_root / "train2017")
+        coco_root = _coco_root(mini_coco, tmp_path, val=False)
         out = str(tmp_path / "viz")
         data_viz.main(["--coco_dir", str(coco_root), "--out", out,
                        "--n", "2", "--insize", "64"])

@@ -10,23 +10,21 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-from tpupose.config import InferenceConfig
 from tpupose.detectors.pose import pad_image_np
 from tpupose.ops.resize import compute_optimal_size, resize_cv2_cubic
 
 CV2 = pytest.importorskip("cv2")
 
-SMALL_CFG = InferenceConfig(
-    img_size=64, heatmap_size=64, max_peaks_per_joint=8, max_subsets=16)
+from test_eval_apps import (  # shared small config + video fixture helper
+    SMALL_CFG,
+    _write_video,
+)
 
 
 def _stub_detector(precise=False):
     from test_eval_apps import _stub_pose_detector
 
-    det = _stub_pose_detector(precise=precise)
-    if precise:
-        det.cfg = SMALL_CFG
-    return det
+    return _stub_pose_detector(precise=precise)
 
 
 class TestDevicePyramid:
@@ -96,27 +94,34 @@ class TestStreamingAPI:
         np.testing.assert_array_equal(scores_a, scores_b)
 
     def test_pipelined_order_independent(self):
-        """Two frames in flight: results correspond to their own frames."""
+        """Two frames in flight: results correspond to their own frames.
+
+        The stub's detection SCORES depend on each frame's pixel values
+        (see _StubModel), so a frame<->result swap fails the score
+        comparison — poses alone would be identical for both frames."""
         det = _stub_detector()
         rng = np.random.RandomState(3)
         img1 = rng.randint(0, 255, (92, 124, 3), dtype=np.uint8)
         img2 = rng.randint(0, 255, (92, 124, 3), dtype=np.uint8)
         h1 = det.submit(img1)
         h2 = det.submit(img2)
-        p1, _ = det.collect(h1)
-        p2, _ = det.collect(h2)
-        q1, _ = det(img1)
-        q2, _ = det(img2)
+        p1, s1 = det.collect(h1)
+        p2, s2 = det.collect(h2)
+        q1, t1 = det(img1)
+        q2, t2 = det(img2)
+        assert not np.allclose(t1, t2), "stub must differentiate frames"
         np.testing.assert_array_equal(p1, q1)
         np.testing.assert_array_equal(p2, q2)
+        np.testing.assert_allclose(s1, t1, rtol=1e-6)
+        np.testing.assert_allclose(s2, t2, rtol=1e-6)
 
 
 class TestPreprocess:
     def test_compute_optimal_size_stride(self):
         for h, w in [(480, 640), (584, 584), (37, 91)]:
             out_w, out_h = compute_optimal_size(h, w, 368, 8)
-            assert out_w % 8 == 0 or out_w == 368
-            assert out_h % 8 == 0 or out_h == 368
+            assert out_w % 8 == 0
+            assert out_h % 8 == 0
 
     def test_pad_image(self):
         img = np.zeros((37, 53, 3), np.uint8)
@@ -144,12 +149,7 @@ class TestBatchedDetect:
         from tpupose.apps import camera
 
         video = str(tmp_path / "in.mp4")
-        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
-                             10.0, (124, 92))
-        rng = np.random.RandomState(0)
-        for _ in range(6):
-            wr.write(rng.randint(0, 255, (92, 124, 3), dtype=np.uint8))
-        wr.release()
+        _write_video(video, 6, wh=(124, 92))
 
         stub = _stub_detector()
         monkeypatch.setattr(det_mod, "PoseDetector",
@@ -181,12 +181,7 @@ class TestBatchedDetect:
         from tpupose.apps import camera
 
         video = str(tmp_path / "in.mp4")
-        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
-                             10.0, (124, 92))
-        rng = np.random.RandomState(0)
-        for _ in range(4):
-            wr.write(rng.randint(0, 255, (92, 124, 3), dtype=np.uint8))
-        wr.release()
+        _write_video(video, 4, wh=(124, 92))
 
         stub = _stub_detector()   # build BEFORE patching (it constructs one)
         seen = {}

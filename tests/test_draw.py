@@ -100,7 +100,7 @@ class TestGroupingCases:
         # sides, and the reference quirk added the bridge's connection
         # score to the count column -> non-integer count
         merged = [s for s in subsets
-                  if s[0][2] >= 0 and s[0][14] >= 0]  # rsh AND nose
+                  if s[0][2] >= 0 and s[0][14] >= 0]  # rsh AND right eye
         assert len(merged) == 1
         assert abs(merged[0][2] - round(merged[0][2])) > 1e-6
 

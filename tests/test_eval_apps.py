@@ -31,7 +31,13 @@ SMALL_CFG = InferenceConfig(
 
 class _StubModel:
     """Stands in for CocoPoseNet: emits fixed synthetic pafs/heatmaps
-    resized to the input's stride-8 grid, stacked to 6 stages."""
+    resized to the input's stride-8 grid, stacked to 6 stages.
+
+    The heatmaps are scaled by a ±5% factor derived from each frame's
+    mean pixel value, so DISTINCT frames yield distinct detection
+    scores (same keypoints) — frame<->result misalignment in pipelined,
+    batched, or evaluator code paths then shows up as score mismatches
+    instead of passing vacuously."""
 
     def __init__(self, pafs, heatmaps):
         self._pafs = np.transpose(pafs, (1, 2, 0))[None]        # NHWC
@@ -43,12 +49,29 @@ class _StubModel:
         b, h, w = x.shape[0], x.shape[1] // 8, x.shape[2] // 8
         paf = resize_cv2_linear(jnp.asarray(self._pafs), (h, w))
         hm = resize_cv2_linear(jnp.asarray(self._heatmaps), (h, w))
+        # (B, 1, 1, 1) per-frame amplitude from the preprocessed frame
+        # (x is ~[-0.5, 0.5] after /255 - 0.5)
+        amp = 1.0 + 0.1 * jnp.mean(
+            x.reshape(b, -1), axis=1)[:, None, None, None]
 
-        def stack(a):  # same maps for every frame and stage
+        def stack(a, scale=None):
             a = jnp.broadcast_to(a, (b,) + a.shape[1:])
+            if scale is not None:
+                a = a * scale
             return jnp.broadcast_to(a[None], (6,) + a.shape)
 
-        return stack(paf), stack(hm)
+        return stack(paf), stack(hm, amp)
+
+
+def _write_video(path, n_frames, wh=(124, 92), fps=10.0, seed=0):
+    """Write ``n_frames`` random frames to ``path`` (wh = (width, height))
+    — the one fixture-video helper shared by every camera-app test."""
+    wr = CV2.VideoWriter(str(path), CV2.VideoWriter_fourcc(*"mp4v"),
+                         fps, wh)
+    rng = np.random.RandomState(seed)
+    for _ in range(n_frames):
+        wr.write(rng.randint(0, 255, (wh[1], wh[0], 3), dtype=np.uint8))
+    wr.release()
 
 
 def _stub_pose_detector(precise=False, n_people=2, seed=3):
@@ -202,12 +225,7 @@ class TestCameraApp:
         from tpupose.apps import camera
 
         video = str(tmp_path / "in.mp4")
-        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
-                             10.0, (124, 92))
-        rng = np.random.RandomState(0)
-        for _ in range(5):
-            wr.write(rng.randint(0, 255, (92, 124, 3), dtype=np.uint8))
-        wr.release()
+        _write_video(video, 5, wh=(124, 92))
 
         stub = _stub_pose_detector()  # build before patching the symbol
         monkeypatch.setattr(det_mod, "PoseDetector",
@@ -229,12 +247,7 @@ class TestCameraApp:
         from tpupose.apps import camera
 
         video = str(tmp_path / "in.mp4")
-        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
-                             10.0, (64, 48))
-        rng = np.random.RandomState(0)
-        for _ in range(4):
-            wr.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
-        wr.release()
+        _write_video(video, 4, wh=(64, 48))
 
         stub = _stub_pose_detector(precise=True)
         monkeypatch.setattr(det_mod, "PoseDetector",
@@ -254,12 +267,7 @@ class TestCameraApp:
         from tpupose.apps import camera
 
         video = str(tmp_path / "in.mp4")
-        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
-                             10.0, (64, 48))
-        rng = np.random.RandomState(0)
-        for _ in range(4):
-            wr.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
-        wr.release()
+        _write_video(video, 4, wh=(64, 48))
 
         stub = _stub_pose_detector(precise=True)
         monkeypatch.setattr(det_mod, "PoseDetector",
@@ -560,12 +568,7 @@ class TestCameraFaceMode:
             pytest.skip("cv2 build lacks objdetect (CascadeClassifier)")
 
         video = str(tmp_path / "in.mp4")
-        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
-                             10.0, (124, 92))
-        rng = np.random.RandomState(0)
-        for _ in range(3):
-            wr.write(rng.randint(0, 255, (92, 124, 3), dtype=np.uint8))
-        wr.release()
+        _write_video(video, 3, wh=(124, 92))
 
         stub = FaceDetector("facenet", cfg=FaceConfig(img_size=64))
         monkeypatch.setattr(det_mod, "FaceDetector",
@@ -586,12 +589,7 @@ class TestCameraFaceMode:
         from tpupose.detectors import FaceDetector
 
         video = str(tmp_path / "in.mp4")
-        wr = CV2.VideoWriter(video, CV2.VideoWriter_fourcc(*"mp4v"),
-                             10.0, (124, 92))
-        rng = np.random.RandomState(0)
-        for _ in range(3):
-            wr.write(rng.randint(0, 255, (92, 124, 3), dtype=np.uint8))
-        wr.release()
+        _write_video(video, 3, wh=(124, 92))
 
         face_stub = FaceDetector("facenet", cfg=FaceConfig(img_size=64))
         pose_stub = _stub_pose_detector()

@@ -70,14 +70,8 @@ def test_resize_chainer_align_corners():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-def test_compute_optimal_size():
-    """Parity with pose_detector.py:57-73 on sample geometries."""
-    # Landscape 480x640 @368: h<w -> h=368, w=round(368*640/480)=491 -> 496.
-    assert compute_optimal_size(480, 640, 368) == (496, 368)
-    # Portrait 640x480: w=368, h=round(368*640/480)=491 -> 496.
-    assert compute_optimal_size(640, 480, 368) == (368, 496)
-    # Exact multiple stays.
-    assert compute_optimal_size(368, 368, 368) == (368, 368)
+# (spot checks of compute_optimal_size live in the 209-case reference
+# parity sweep below — see test_compute_optimal_size_reference_parity)
 
 
 # ---------------------------------------------------------------------------

@@ -59,13 +59,22 @@ def _render_scene(rng, n_people=3, hw=(46, 62)):
 
 
 def _peaks_from_oracle(ref_peaks, k):
-    """Pack the oracle's dynamic peak lists into a static Peaks table."""
+    """Pack the oracle's dynamic peak lists into a static Peaks table.
+
+    Raises loudly when a joint overflows ``k`` — a silent ``[:k]`` would
+    feed the device a truncated table while the oracle consumes the full
+    lists, producing an opaque mismatch downstream (recalibrate the test
+    scene or raise ``k`` instead)."""
     x = np.zeros((NUM_JOINTS, k), np.float32)
     y = np.zeros((NUM_JOINTS, k), np.float32)
     s = np.zeros((NUM_JOINTS, k), np.float32)
     v = np.zeros((NUM_JOINTS, k), bool)
     for j, plist in enumerate(ref_peaks):
-        for i, (px, py, ps) in enumerate(plist[:k]):
+        if len(plist) > k:
+            raise AssertionError(
+                f"test scene overflows capacity: joint {j} has "
+                f"{len(plist)} peaks > k={k}")
+        for i, (px, py, ps) in enumerate(plist):
             x[j, i], y[j, i], s[j, i], v[j, i] = px, py, ps, True
     return Peaks(x=jnp.asarray(x), y=jnp.asarray(y), score=jnp.asarray(s),
                  valid=jnp.asarray(v))
@@ -162,12 +171,12 @@ def test_full_postprocess_matches_oracle_pipeline():
     # Oracle pipeline.
     ref_peaks = oracle_peaks(heatmaps[:-1], CFG)
     ref_conns = oracle_connections(pafs, ref_peaks, img_len, CFG)
-    peak_scores = np.zeros((NUM_JOINTS, CFG.max_peaks_per_joint), np.float32)
-    for j, plist in enumerate(ref_peaks):
-        for i, (_, _, ps) in enumerate(plist[:CFG.max_peaks_per_joint]):
-            peak_scores[j, i] = ps
+    peaks_packed = _peaks_from_oracle(ref_peaks, CFG.max_peaks_per_joint)
+    peak_scores = np.asarray(peaks_packed.score)
     ref_subsets = group_keypoints_numpy(ref_conns, peak_scores, CFG)
-    ref_poses = set()
+    # Multiset of (pose, score): duplicates and per-subset score bugs
+    # must fail (a set-of-poses comparison would hide both).
+    ref_entries = []
     for r in ref_subsets:
         joints = []
         for j in range(NUM_JOINTS):
@@ -177,19 +186,20 @@ def test_full_postprocess_matches_oracle_pipeline():
                 joints.append((px, py, 2))
             else:
                 joints.append((0, 0, 0))
-        ref_poses.add(tuple(joints))
+        ref_entries.append((tuple(joints), round(float(r["score"]), 4)))
 
     # Device pipeline.
     result = postprocess_pose(jnp.asarray(pafs), jnp.asarray(heatmaps),
                               img_len, CFG)
-    got_poses = set()
+    got_entries = []
     for i in range(CFG.max_subsets):
         if bool(result.valid[i]):
             pose = np.asarray(result.poses[i])
-            got_poses.add(tuple(
-                (int(x), int(y), int(v)) for x, y, v in pose))
+            got_entries.append((
+                tuple((int(x), int(y), int(v)) for x, y, v in pose),
+                round(float(result.scores[i]), 4)))
 
-    assert got_poses == ref_poses
+    assert sorted(got_entries) == sorted(ref_entries)
     assert int(result.num_peaks) == sum(len(p) for p in ref_peaks)
 
 
