@@ -122,7 +122,9 @@ def oracle_full_pipeline(pafs, heatmaps, cfg: InferenceConfig,
     from tpupose.ops.grouping import group_keypoints_numpy
 
     img_len = pafs.shape[2]
-    peaks = oracle_peaks(heatmaps[:-1], cfg)
+    peak_fn = (oracle_peaks_conv if cfg.nms_mode == "conv"
+               else oracle_peaks)
+    peaks = peak_fn(heatmaps[:-1], cfg)
     k = cfg.max_peaks_per_joint
     counts = [len(p) for p in peaks]
     if max(counts) > k:

@@ -146,6 +146,22 @@ def test_fast_pipeline_matches_oracle_on_reference_image(
     _run_parity(fast_detector, img)
 
 
+def test_fast_pipeline_conv_nms_matches_oracle_on_person():
+    """The GPU-path NMS variant (nms_mode='conv': 17x17 zero-pad
+    unnormalized-Gaussian conv, >= rule) through the FULL device pipeline
+    on a real reference image vs the oracle running the same semantics
+    (oracle_full_pipeline switches peak oracles on cfg.nms_mode)."""
+    from dataclasses import replace
+
+    from tpupose.detectors import PoseDetector
+
+    cfg = replace(HARNESS_CFG, nms_mode="conv")
+    det = PoseDetector("posenet", cfg=cfg)
+    img = _load("person")
+    _calibrate(det, img)
+    _run_parity(det, img)
+
+
 def test_precise_pipeline_matches_oracle_on_person():
     """Full multi-scale path: device 4-scale pyramid + cross-scale
     averaging + orig-resolution postprocess vs the oracle fed the averaged
