@@ -230,6 +230,42 @@ def device_breakdown(det, img, n: int = 4) -> dict:
     return out
 
 
+def fast_path_breakdown(img, n: int = 20) -> dict:
+    """Single-scale (fast-path) serving numbers: device-only latency of
+    the ONE jitted program (normalize -> CNN -> map resize -> full
+    postprocess) with a pre-staged input, plus streaming e2e FPS."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpupose.detectors import PoseDetector
+    from tpupose.ops import compute_optimal_size
+
+    det = PoseDetector("posenet")
+    orig_h, orig_w = img.shape[:2]
+    iw, ih = compute_optimal_size(orig_h, orig_w, det.cfg.img_size,
+                                  det.cfg.downscale)
+    mw, mh = compute_optimal_size(orig_h, orig_w, det.cfg.heatmap_size,
+                                  det.cfg.downscale)
+    import cv2
+
+    staged = jnp.asarray(cv2.resize(img, (iw, ih)))
+    fn = det._fast_fn((ih, iw), (mh, mw))
+    checksum = jax.jit(lambda r: r.num_peaks)
+
+    def sync(out):
+        np.asarray(jax.device_get(checksum(out)))
+
+    _, per_call, _ = _timed_calls(
+        lambda: fn(det.variables, staged), sync, n)
+    stream = measure_streaming_fps(det, img, frames=8, windows=3)
+    return {
+        "input_hw": [ih, iw], "map_hw": [mh, mw],
+        "device_ms": round(per_call * 1e3, 2),
+        "device_only_fps": round(1.0 / per_call, 1),
+        "streaming_fps": round(stream, 2),
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--detail", action="store_true",
@@ -265,6 +301,7 @@ def main(argv=None) -> None:
             "sequential_fps": round(seq_fps, 3),
             **device_breakdown(det, img),
         }
+        detail["fast_path"] = fast_path_breakdown(img)
         dev_ms = detail["per_frame"]["device_ms_total"]
         detail["analysis"] = (
             f"e2e streaming {1e3 / stream_fps:.1f} ms/frame vs "
