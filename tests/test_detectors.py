@@ -235,6 +235,46 @@ class TestMeshedBatchDetect:
             np.testing.assert_array_equal(pm, p1)
             np.testing.assert_allclose(sm, s1, rtol=1e-5)
 
+    def test_precise_mesh_batch_pins_xla_peak_path(self, monkeypatch):
+        """The batched precise postprocess runs under mesh shardings, where
+        GSPMD cannot auto-partition a Pallas custom call — it must pin
+        use_pallas=False (like the batched fast path) instead of letting
+        the TPU-backend auto-select pick Pallas at compile time."""
+        import jax
+
+        import tpupose.detectors.pose as pose_mod
+        from tpupose.detectors import PoseDetector
+        from tpupose.parallel import make_mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 virtual devices")
+
+        seen = {}
+        real = pose_mod.postprocess_pose
+
+        def recorder(*args, **kwargs):
+            seen["use_pallas"] = kwargs.get("use_pallas", "absent")
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(pose_mod, "postprocess_pose", recorder)
+        mesh = make_mesh(n_data=4, n_spatial=1)
+        det = PoseDetector("posenet", params={"params": {}},
+                           cfg=SMALL_CFG, precise=True, mesh=mesh)
+        paf = jnp.zeros((4, 24, 32, 38), jnp.float32)
+        hm = jnp.zeros((4, 24, 32, 19), jnp.float32)
+        # eval_shape traces (runs the Python body) without compiling.
+        jax.eval_shape(det._batch_avg_postprocess_fn((24, 32), 2, 4),
+                       [paf, paf], [hm, hm])
+        assert seen["use_pallas"] is False
+
+        # Without a mesh, auto-selection stays in charge.
+        seen.clear()
+        det_1 = PoseDetector("posenet", params={"params": {}},
+                             cfg=SMALL_CFG, precise=True)
+        jax.eval_shape(det_1._batch_avg_postprocess_fn((24, 32), 2, 4),
+                       [paf, paf], [hm, hm])
+        assert seen["use_pallas"] is None
+
 
 class TestPostprocessCap:
     def test_capped_precise_close_to_exact(self):

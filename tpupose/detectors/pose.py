@@ -446,16 +446,22 @@ class PoseDetector:
         if key not in self._avg_fns:
             cfg = self.cfg
             o_w = post_hw[1]
+            use_mesh = self.mesh is not None
 
             def fn(paf_list, hm_list):       # lists of (B, o_h, o_w, C)
                 paf = sum(paf_list) / n_scales
                 hm = sum(hm_list) / n_scales
 
                 def per_frame(p, h):
+                    # Inputs are mesh-committed when a mesh is attached:
+                    # GSPMD cannot auto-partition a Pallas custom call,
+                    # so pin the XLA peak path there (same rule as the
+                    # batched fast path above).
                     return postprocess_pose(
                         jnp.transpose(p, (2, 0, 1)),
                         jnp.transpose(h, (2, 0, 1)),
-                        jnp.float32(o_w), cfg)
+                        jnp.float32(o_w), cfg,
+                        use_pallas=False if use_mesh else None)
 
                 return jax.vmap(per_frame)(paf, hm)
 
