@@ -194,3 +194,73 @@ def test_npz_save_load_roundtrip(tmp_path):
     jax.tree_util.tree_map(
         np.testing.assert_array_equal, params,
         jax.tree_util.tree_map(np.asarray, variables["params"]))
+
+
+class TestLoadReportWarnings:
+    """Silent-random-layer loading must be impossible: detectors warn on
+    any npz gap beyond the reference's documented conv5_5_CPM_L1 quirk
+    (its converter never copies that layer, convert_model.py:24-34)."""
+
+    def _posenet_npz(self, tmp_path, name="w.npz"):
+        model = CocoPoseNet()
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+        path = str(tmp_path / name)
+        save_npz_params(path, variables["params"])
+        return path
+
+    def test_truncated_npz_warns(self, tmp_path):
+        from tpupose.detectors import PoseDetector
+
+        path = self._posenet_npz(tmp_path)
+        flat = dict(np.load(path))
+        for k in ("conv1_1/W", "conv1_1/b", "Mconv7_stage6_L2/W"):
+            flat.pop(k)
+        trunc = str(tmp_path / "trunc.npz")
+        np.savez(trunc, **flat)
+        with pytest.warns(RuntimeWarning, match="RANDOM init"):
+            PoseDetector("posenet", weights_file=trunc)
+
+    def test_reference_quirk_npz_loads_silently(self, tmp_path):
+        import warnings
+
+        from tpupose.detectors import PoseDetector
+
+        path = self._posenet_npz(tmp_path)
+        flat = dict(np.load(path))
+        # exactly what an official converted coco_posenet.npz looks like
+        flat.pop("conv5_5_CPM_L1/W")
+        flat.pop("conv5_5_CPM_L1/b")
+        quirk = str(tmp_path / "quirk.npz")
+        np.savez(quirk, **flat)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            PoseDetector("posenet", weights_file=quirk)
+
+    def test_unused_keys_warn(self, tmp_path):
+        from tpupose.detectors import PoseDetector
+
+        path = self._posenet_npz(tmp_path)
+        flat = dict(np.load(path))
+        flat["not_a_layer/W"] = np.zeros((1, 1, 1, 1), np.float32)
+        extra = str(tmp_path / "extra.npz")
+        np.savez(extra, **flat)
+        with pytest.warns(RuntimeWarning, match="matched no model layer"):
+            PoseDetector("posenet", weights_file=extra)
+
+    def test_crop_detector_truncated_npz_warns(self, tmp_path):
+        from tpupose.detectors import FaceDetector
+        from tpupose.models import ARCHS
+
+        model = ARCHS["facenet"]()
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+        path = str(tmp_path / "face.npz")
+        save_npz_params(path, variables["params"])
+        flat = dict(np.load(path))
+        # facenet has NO expected-missing quirk: even one gap must warn
+        flat.pop("conv1_1/W")
+        trunc = str(tmp_path / "face_trunc.npz")
+        np.savez(trunc, **flat)
+        with pytest.warns(RuntimeWarning, match="RANDOM init"):
+            FaceDetector("facenet", weights_file=trunc)

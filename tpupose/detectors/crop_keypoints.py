@@ -25,7 +25,7 @@ import numpy as np
 from tpupose.models import ARCHS
 from tpupose.ops.peaks import global_argmax_keypoints
 from tpupose.ops.resize import resize_chainer
-from tpupose.weights import params_from_npz_auto
+from tpupose.weights import params_from_npz_auto, warn_on_load_report
 
 
 class CropKeypointDetector:
@@ -51,7 +51,9 @@ class CropKeypointDetector:
             self.variables = params if "params" in params else {
                 "params": params}
         elif weights_file:
-            self.variables, _ = params_from_npz_auto(weights_file, self.model)
+            self.variables, report = params_from_npz_auto(
+                weights_file, self.model)
+            warn_on_load_report(report, weights_file, arch=arch)
         else:
             # param shapes are input-size independent; small dummy = cheap
             # eager init

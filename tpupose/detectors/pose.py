@@ -37,7 +37,7 @@ from tpupose.ops.resize import (
     resize_chainer,
     resize_cv2_cubic,
 )
-from tpupose.weights import params_from_npz_auto
+from tpupose.weights import params_from_npz_auto, warn_on_load_report
 
 
 def preprocess_u8(img_u8: jnp.ndarray) -> jnp.ndarray:
@@ -83,7 +83,9 @@ class PoseDetector:
             self.variables = params if "params" in params else {
                 "params": params}
         elif weights_file:
-            self.variables, _ = params_from_npz_auto(weights_file, self.model)
+            self.variables, report = params_from_npz_auto(
+                weights_file, self.model)
+            warn_on_load_report(report, weights_file, arch=arch)
         else:
             # param shapes are input-size independent; a small dummy keeps
             # the eager init cheap (368px costs seconds per detector)

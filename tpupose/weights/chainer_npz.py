@@ -108,6 +108,45 @@ def save_npz_params(path: str, params: FlaxParams) -> None:
     np.savez(path, **flat)
 
 
+# Keys the reference's own converter never copies: its posenet layer list
+# omits ``conv5_5_CPM_L1`` (``models/convert_model.py:24-34``), so official
+# ``coco_posenet.npz`` files legitimately lack these two entries (the layer
+# keeps its random init there too).  Everything else missing or left over
+# means a wrong/truncated file.
+EXPECTED_MISSING = {
+    "posenet": frozenset({"conv5_5_CPM_L1/W", "conv5_5_CPM_L1/b"}),
+}
+
+
+def warn_on_load_report(report, path: str, arch: str = "posenet") -> None:
+    """Warn loudly when an npz load left layers at their random init
+    (missing keys beyond the documented reference quirk) or carried keys
+    the model has no layer for (wrong-arch file that happened to be
+    shape-compatible elsewhere)."""
+    import warnings
+
+    expected = EXPECTED_MISSING.get(arch, frozenset())
+    missing = [k for k in report["missing"] if k not in expected]
+    unused = list(report["unused"])
+    if missing or unused:
+        parts = []
+        if missing:
+            parts.append(
+                f"{len(missing)} model layers not in the file (left at "
+                f"RANDOM init): {sorted(missing)[:6]}"
+                + (" ..." if len(missing) > 6 else ""))
+        if unused:
+            parts.append(
+                f"{len(unused)} file keys matched no model layer: "
+                f"{unused[:6]}" + (" ..." if len(unused) > 6 else ""))
+        warnings.warn(
+            f"weight file {path!r} does not fully match the {arch} model — "
+            + "; ".join(parts)
+            + " (only the reference's documented conv5_5_CPM_L1 omission "
+              "is expected for posenet)",
+            RuntimeWarning, stacklevel=3)
+
+
 def params_from_npz_auto(path: str, model, insize: int = 32):
     """Convenience: init ``model`` then load ``path`` over it.
 
