@@ -381,3 +381,31 @@ class TestCapacityAndDtypeParity:
             img, poses, mask = ds.sample(0)
         assert poses.shape[0] == 2
         assert mask.any()  # dropped person's region is ignored
+
+
+class TestSingleBranchTrainCLI:
+    def test_facenet_on_coco_exits_with_clear_error(self, tmp_path):
+        """An exposed CLI choice must never crash mid-run: face/hand archs
+        cannot train on COCO (no labels) and must say so up front."""
+        from tpupose.apps import train_cli
+
+        with pytest.raises(SystemExit, match="synthetic"):
+            train_cli.main(["--arch", "facenet",
+                            "--coco_dir", str(tmp_path / "nope")])
+
+    def test_facenet_synthetic_smoke_train(self, tmp_path):
+        """2 iterations of facenet end-to-end through the CLI on the
+        synthetic labeled-crop dataset (a capability the reference
+        advertises but cannot deliver)."""
+        from tpupose.apps import train_cli
+
+        out = str(tmp_path / "result")
+        train_cli.main([
+            "--arch", "facenet", "--synthetic", "--out", out, "--test",
+            "--batchsize", "2", "--valbatchsize", "2", "--iteration", "2",
+            "--insize", "32",
+        ])
+        with open(os.path.join(out, "log")) as f:
+            log = json.load(f)
+        assert any("main/loss" in e for e in log)
+        assert os.path.exists(os.path.join(out, "facenet_final.npz"))

@@ -239,3 +239,65 @@ class TestShardedStep:
         _, m_one = step_1(state, batch)
         np.testing.assert_allclose(
             float(m_mesh["loss"]), float(m_one["loss"]), rtol=1e-5)
+
+
+class TestSingleBranchTraining:
+    """FaceNet/HandNet training — the reference's trainer crashes on these
+    archs (its loss is pose-specific, train_coco_pose_estimation.py:41-73);
+    here the single-branch heatmap loss + generic GT renderer make them
+    first-class."""
+
+    def test_facenet_loss_decreases_on_synthetic_crops(self):
+        from tpupose.data import BatchLoader, SyntheticCropDataset
+
+        cfg = TrainConfig(insize=32, max_persons=1)
+        model = ARCHS["facenet"]()
+        state, tx = init_train_state(model, cfg, arch="facenet", insize=32)
+        step = make_train_step(model, tx, cfg, donate=False)
+        ds = SyntheticCropDataset(70, insize=32, n_samples=4)
+        loader = BatchLoader(ds, 2, max_persons=1, shuffle=False)
+        it = iter(loader)
+        batch = next(it)
+        assert batch.poses.shape == (2, 1, 70, 3)
+        losses = []
+        for _ in range(4):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert float(metrics["paf"]) == 0.0
+        assert metrics["heat_stages"].shape == (6,)
+
+    def test_handnet_single_branch_loss_traces(self):
+        """Trace-only (no compile): the 21-keypoint path through
+        loss_for_batch, including GT channel count = net output count."""
+        from tpupose.train.trainer import TrainBatch, loss_for_batch
+
+        cfg = TrainConfig(insize=32, max_persons=1)
+        model = ARCHS["handnet"]()
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)))["params"]
+        batch = TrainBatch(
+            imgs=jnp.zeros((2, 32, 32, 3), jnp.uint8),
+            poses=jnp.zeros((2, 1, 21, 3), jnp.float32),
+            ignore_mask=jnp.zeros((2, 32, 32), bool),
+        )
+        total, metrics = jax.eval_shape(
+            lambda p, b: loss_for_batch(model, p, b, cfg), params, batch)
+        assert total.shape == ()
+        assert metrics["heat_stages"].shape == (6,)
+
+    def test_masked_pixels_have_zero_grad_single_branch(self):
+        from tpupose.train.loss import compute_loss_single
+
+        rng = np.random.RandomState(0)
+        ys = jnp.asarray(rng.randn(2, 1, 8, 8, 22).astype(np.float32))
+        t = jnp.asarray(rng.randn(1, 8, 8, 22).astype(np.float32))
+        mask = np.zeros((1, 8, 8), bool)
+        mask[0, :4] = True
+
+        def loss_of(ys):
+            return compute_loss_single(ys, t, jnp.asarray(mask))[0]
+
+        g = np.asarray(jax.grad(loss_of)(ys))
+        assert np.all(g[:, :, :4] == 0)
+        assert np.any(g[:, :, 4:] != 0)

@@ -41,6 +41,12 @@ def parse_args(argv=None):
                    help="COCO root (annotations/, train2017/, ...)")
     p.add_argument("--test", action="store_true",
                    help="10 iterations, small val, for smoke testing")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on generated labeled crops instead of COCO "
+                        "(pipeline smoke runs; REQUIRED for facenet/handnet "
+                        "— no face/hand keypoint dataset exists, and the "
+                        "reference trainer is pose-only despite its --arch "
+                        "flag)")
     p.add_argument("--n_data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--n_spatial", type=int, default=1,
@@ -70,6 +76,15 @@ def main(argv=None):
     from tpupose.weights import params_from_npz_auto
 
     args = parse_args(argv)
+    if args.arch != "posenet" and not args.synthetic:
+        raise SystemExit(
+            f"--arch {args.arch} cannot train on COCO: the dataset has no "
+            "face/hand keypoint labels.  (The reference trainer advertises "
+            "this arch but is pose-only in practice — its loss unpacks two "
+            "branches, train_coco_pose_estimation.py:41-73 — so the choice "
+            "crashes there too.)  Pass --synthetic for a smoke run on "
+            "generated labeled crops, or feed a labeled-crop dataset "
+            "through tpupose.train.make_train_step directly.")
     cfg = TrainConfig(batch_size=args.batchsize, iterations=args.iteration,
                       insize=args.insize)
     iterations = min(args.iteration, 10) if args.test else args.iteration
@@ -117,20 +132,34 @@ def main(argv=None):
             print("Resume from", path)
             state = restore_checkpoint(path, state)
 
-    ann = os.path.join(args.coco_dir, "annotations")
-    train_ds = CocoPoseDataset(
-        os.path.join(ann, "person_keypoints_train2017.json"),
-        os.path.join(args.coco_dir, "train2017"),
-        mask_dir=os.path.join(args.coco_dir, "ignore_mask_train2017"),
-        mode="train", cfg=cfg)
-    val_ds = CocoPoseDataset(
-        os.path.join(ann, "person_keypoints_val2017.json"),
-        os.path.join(args.coco_dir, "val2017"),
-        mask_dir=os.path.join(args.coco_dir, "ignore_mask_val2017"),
-        mode="val", cfg=cfg,
-        n_samples=(8 if args.test else args.val_samples))
+    if args.synthetic:
+        from tpupose.data import SyntheticCropDataset
+
+        num_keypoints = {"posenet": 18, "facenet": 70, "handnet": 21}
+        k = num_keypoints[args.arch]
+        train_ds = SyntheticCropDataset(
+            k, insize=cfg.insize,
+            n_samples=max(64, 4 * args.batchsize), seed=0)
+        val_ds = SyntheticCropDataset(
+            k, insize=cfg.insize,
+            n_samples=(8 if args.test else args.val_samples), seed=1)
+        max_persons = 1  # one synthetic person per crop
+    else:
+        ann = os.path.join(args.coco_dir, "annotations")
+        train_ds = CocoPoseDataset(
+            os.path.join(ann, "person_keypoints_train2017.json"),
+            os.path.join(args.coco_dir, "train2017"),
+            mask_dir=os.path.join(args.coco_dir, "ignore_mask_train2017"),
+            mode="train", cfg=cfg)
+        val_ds = CocoPoseDataset(
+            os.path.join(ann, "person_keypoints_val2017.json"),
+            os.path.join(args.coco_dir, "val2017"),
+            mask_dir=os.path.join(args.coco_dir, "ignore_mask_val2017"),
+            mode="val", cfg=cfg,
+            n_samples=(8 if args.test else args.val_samples))
+        max_persons = cfg.max_persons
     train_loader = BatchLoader(
-        train_ds, args.batchsize, max_persons=cfg.max_persons,
+        train_ds, args.batchsize, max_persons=max_persons,
         num_workers=args.loaderjob, mesh=mesh)
 
     logger = TrainLogger(args.out, log_interval=log_interval)
@@ -138,7 +167,7 @@ def main(argv=None):
 
     def run_validation(params):
         val_loader = BatchLoader(
-            val_ds, args.valbatchsize, max_persons=cfg.max_persons,
+            val_ds, args.valbatchsize, max_persons=max_persons,
             shuffle=False, repeat=False, mesh=mesh)
         sums, n = {}, 0
         for batch in val_loader:

@@ -9,3 +9,4 @@ from tpupose.data.dataset import (
 )
 from tpupose.data.gt import render_heatmaps, render_labels, render_pafs
 from tpupose.data.loader import BatchLoader
+from tpupose.data.synthetic import SyntheticCropDataset

@@ -41,14 +41,16 @@ def _grids(height: int, width: int):
 
 def render_heatmaps(poses: jnp.ndarray, height: int, width: int,
                     sigma: float) -> jnp.ndarray:
-    """poses: (P, 18, 3) float32 ``[x, y, v]`` rows (v>0 = labeled).
+    """poses: (P, K, 3) float32 ``[x, y, v]`` rows (v>0 = labeled).
 
-    Returns (19, H, W) float32 — 18 joint channels + background
-    (ref ``coco_data_loader.py:216-229``).
+    Returns (K+1, H, W) float32 — K keypoint channels + background
+    (ref ``coco_data_loader.py:216-229``).  K is 18 for the pose net; the
+    same renderer serves the single-branch nets' crop GT (70 face / 21
+    hand keypoints + background, matching their output channel layout).
     """
     if poses.shape[0] == 0:  # no people: all-background map
         return jnp.concatenate(
-            [jnp.zeros((NUM_JOINTS, height, width), jnp.float32),
+            [jnp.zeros((poses.shape[1], height, width), jnp.float32),
              jnp.ones((1, height, width), jnp.float32)], axis=0)
     gx, gy = _grids(height, width)
     x = poses[:, :, 0][:, :, None, None]       # (P, J, 1, 1)

@@ -112,7 +112,10 @@ class BatchLoader:
         from tpupose.train.trainer import TrainBatch, pad_poses
 
         imgs = np.stack([s[0] for s in samples])
-        poses = pad_poses([s[1] for s in samples], self.max_persons)
+        # keypoint count rides the samples' (P, K, 3) tables: 18 for the
+        # pose dataset, 70/21 for single-branch crop datasets
+        poses = pad_poses([s[1] for s in samples], self.max_persons,
+                          num_keypoints=np.shape(samples[0][1])[1])
         masks = np.stack([s[2] for s in samples])
         arrays = {"imgs": imgs, "poses": poses, "ignore_mask": masks}
         if self.mesh is not None:

@@ -77,3 +77,42 @@ def compute_loss(pafs_ys: jnp.ndarray, heatmaps_ys: jnp.ndarray,
         "heat_stages": heat_losses,
     }
     return total, metrics
+
+
+def compute_loss_single(heatmaps_ys: jnp.ndarray, heatmaps_t: jnp.ndarray,
+                        ignore_mask: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Masked multi-stage MSE for the single-branch nets (FaceNet/HandNet,
+    which return ONE stacked heatmap tensor instead of a (pafs, heatmaps)
+    pair).
+
+    The reference exposes ``--arch facenet|handnet`` on its trainer but its
+    loss unpacks two branches, so those choices crash at the first step
+    (``train_coco_pose_estimation.py:41-73`` is pose-specific) — this
+    extends the identical masked-MSE/stop-gradient semantics to the
+    single-branch heads.  Metrics keep the ``paf`` key (always 0) so the
+    LogReport-parity logging pipeline is arch-agnostic.
+
+    heatmaps_ys: (S, B, h, w, C) stacked stage outputs;
+    heatmaps_t: (B, H, W, C) GT at input resolution; ignore_mask: (B, H, W).
+    """
+    out_hw = heatmaps_ys.shape[2:4]
+    if heatmaps_t.shape[1:3] != out_hw:
+        heatmaps_t = resize_chainer(heatmaps_t, out_hw)
+        mask = resize_chainer(
+            ignore_mask.astype(jnp.float32)[..., None], out_hw)[..., 0] > 0
+    else:
+        mask = ignore_mask > 0
+    m = mask[None, :, :, :, None]
+    heat_gt = jnp.where(m, jax.lax.stop_gradient(heatmaps_ys),
+                        heatmaps_t[None])
+    heat_losses = jnp.mean((heatmaps_ys - heat_gt) ** 2, axis=(1, 2, 3, 4))
+    total = jnp.sum(heat_losses)
+    metrics = {
+        "loss": total,
+        "paf": jnp.zeros_like(total),
+        "heat": total,
+        "paf_stages": jnp.zeros_like(heat_losses),
+        "heat_stages": heat_losses,
+    }
+    return total, metrics

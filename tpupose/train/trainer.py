@@ -28,7 +28,7 @@ from jax.sharding import Mesh
 from tpupose.config import TRAIN, TrainConfig
 from tpupose.data.gt import render_labels
 from tpupose.parallel import mesh as meshlib
-from tpupose.train.loss import compute_loss
+from tpupose.train.loss import compute_loss, compute_loss_single
 from tpupose.train.optimizer import make_optimizer
 
 
@@ -89,6 +89,21 @@ def _render_batch_labels(batch: TrainBatch, cfg: TrainConfig):
     return jax.vmap(per_sample)(batch.poses)
 
 
+def _render_batch_heatmaps(batch: TrainBatch, cfg: TrainConfig):
+    """Heatmap-only GT for the single-branch nets: batch.poses carries
+    (B, P, K, 3) keypoint tables (K = 70 face / 21 hand) and the renderer
+    emits K+1 channels matching the net output."""
+    from tpupose.data.gt import render_heatmaps
+
+    h, w = batch.imgs.shape[1:3]
+
+    def per_sample(poses):
+        heatmaps = render_heatmaps(poses, h, w, cfg.heatmap_sigma)
+        return jnp.transpose(heatmaps, (1, 2, 0))
+
+    return jax.vmap(per_sample)(batch.poses)
+
+
 def loss_for_batch(model, params, batch: TrainBatch, cfg: TrainConfig):
     x = preprocess_imgs(batch.imgs)
 
@@ -101,10 +116,17 @@ def loss_for_batch(model, params, batch: TrainBatch, cfg: TrainConfig):
         # O(one stage), letting batch/resolution scale well past the
         # reference's batch 10 @ 368 on a single chip.
         forward = jax.checkpoint(forward)
-    pafs_ys, heatmaps_ys = forward(params, x)
-    pafs_t, heatmaps_t = _render_batch_labels(batch, cfg)
-    return compute_loss(pafs_ys, heatmaps_ys, pafs_t, heatmaps_t,
-                        batch.ignore_mask)
+    outs = forward(params, x)
+    if isinstance(outs, tuple):
+        # two-branch CocoPoseNet: (stacked pafs, stacked heatmaps)
+        pafs_ys, heatmaps_ys = outs
+        pafs_t, heatmaps_t = _render_batch_labels(batch, cfg)
+        return compute_loss(pafs_ys, heatmaps_ys, pafs_t, heatmaps_t,
+                            batch.ignore_mask)
+    # single-branch FaceNet/HandNet: one stacked heatmap tensor (the
+    # reference trainer crashes on these archs; see compute_loss_single)
+    heatmaps_t = _render_batch_heatmaps(batch, cfg)
+    return compute_loss_single(outs, heatmaps_t, batch.ignore_mask)
 
 
 def make_train_step(model, tx, cfg: TrainConfig = TRAIN,
@@ -162,10 +184,13 @@ def make_eval_step(model, cfg: TrainConfig = TRAIN,
     return jax.jit(eval_fn)
 
 
-def pad_poses(pose_list, max_persons: int) -> np.ndarray:
-    """Host helper: list of (P_i, 18, 3) arrays -> (B, max_persons, 18, 3)
-    with zero rows (v=0 => ignored by the renderers)."""
-    batch = np.zeros((len(pose_list), max_persons, 18, 3), np.float32)
+def pad_poses(pose_list, max_persons: int,
+              num_keypoints: int = 18) -> np.ndarray:
+    """Host helper: list of (P_i, K, 3) arrays -> (B, max_persons, K, 3)
+    with zero rows (v=0 => ignored by the renderers).  K defaults to the
+    18-joint pose schema; single-branch crop datasets pass 70/21."""
+    batch = np.zeros((len(pose_list), max_persons, num_keypoints, 3),
+                     np.float32)
     for i, poses in enumerate(pose_list):
         n = min(len(poses), max_persons)
         if n:
