@@ -161,14 +161,26 @@ class TestBatchedDetect:
         assert int(cap.get(CV2.CAP_PROP_FRAME_COUNT)) == 6
         cap.release()
 
-        # --max-frames not divisible by --batch: the cap must be exact
-        # (the final batch runs partial), not rounded up to a full batch
+        # --max-frames not divisible by --batch: the cap must be exact,
+        # AND the tail must be padded to the full batch size so the
+        # already-compiled programs are reused (never a one-off batch
+        # geometry, which costs a full recompile and cannot shard evenly
+        # over a --mesh data axis)
+        sizes = []
+        real_detect = stub.detect_batch
+
+        def recording(imgs):
+            sizes.append(len(imgs))
+            return real_detect(imgs)
+
+        monkeypatch.setattr(stub, "detect_batch", recording)
         out2 = str(tmp_path / "out2.mp4")
         camera.main(["pose", "--video", video, "--headless", "--save", out2,
                      "--batch", "4", "--max-frames", "5"])
         cap = CV2.VideoCapture(out2)
         assert int(cap.get(CV2.CAP_PROP_FRAME_COUNT)) == 5
         cap.release()
+        assert sizes == [4, 4]  # tail of 1 padded to the compiled size
 
     def test_camera_mesh_flag_builds_sharded_detector(self, tmp_path,
                                                       monkeypatch):

@@ -127,7 +127,14 @@ def run_pose_batched(args):
             frames.append(img)
         if not frames:
             break
-        results = detector.detect_batch(np.stack(frames))
+        # Pad a partial tail batch (end of stream / --max-frames) with
+        # repeats of the last frame: the already-compiled full-batch
+        # programs are reused instead of recompiling every per-scale
+        # program for a one-off batch size (10-60 s per compile here) —
+        # and an uneven tail cannot be sharded over a --mesh data axis.
+        n_real = len(frames)
+        padded = frames + [frames[-1]] * (args.batch - n_real)
+        results = detector.detect_batch(np.stack(padded))[:n_real]
         for img, (poses, _) in zip(frames, results):
             res = cv2.addWeighted(img, 0.6, draw_person_pose(img, poses),
                                   0.4, 0)
