@@ -179,8 +179,6 @@ def test_find_peaks_mode_validation():
         find_peaks(hm, 2.5, 0.05, 4, mode="nope")
     with pytest.raises(ValueError):
         find_peaks(hm, 2.5, 0.05, 4, mode="conv", use_pallas=True)
-    with pytest.raises(ValueError):
-        find_peaks(hm, 2.5, 0.05, 4, mode="conv", ksize=16)  # even
 
 
 def test_global_argmax_keypoints():
@@ -223,3 +221,36 @@ def test_compute_optimal_size_reference_parity():
         for target in (368, 320):
             assert compute_optimal_size(h, w, target) == \
                 reference(h, w, target), (h, w, target)
+
+
+def test_gaussian_blur_conv_zero_even_ksize():
+    """Even ksize is accepted (the reference's kernel builder centers at
+    int(ksize/2) and never requires odd): output equals a direct 2-D
+    correlation with the same centering, at input size (see
+    conv_gaussian_kernel_1d's docstring for the deviation from the
+    reference's off-by-one output canvas)."""
+    from scipy.ndimage import correlate
+    from tpupose.ops import gaussian_blur_conv_zero
+
+    rng = np.random.RandomState(12)
+    x = rng.rand(2, 18, 23).astype(np.float32)
+    sigma, k = 2.5, 16
+    center = int(k / 2)
+    gx = np.tile(np.arange(k), (k, 1))
+    d2 = (gx - center) ** 2 + (gx.T - center) ** 2
+    kern = 1 / (sigma ** 2 * 2 * np.pi) * np.exp(-0.5 * d2 / sigma ** 2)
+    ref = np.stack([correlate(c.astype(np.float64), kern,
+                              mode="constant", cval=0.0) for c in x])
+    got = np.asarray(gaussian_blur_conv_zero(jnp.asarray(x), sigma, k))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_find_peaks_even_ksize_runs():
+    from tpupose.ops import find_peaks
+
+    rng = np.random.RandomState(13)
+    heatmaps = _synthetic_heatmaps(rng)
+    got = find_peaks(jnp.asarray(heatmaps), CFG.gaussian_sigma,
+                     CFG.heatmap_peak_thresh, CFG.max_peaks_per_joint,
+                     mode="conv", ksize=16)
+    assert int(np.asarray(got.valid).sum()) > 0

@@ -44,9 +44,15 @@ def conv_gaussian_kernel_1d(sigma: float, ksize: int) -> np.ndarray:
     exactly the outer product of this 1-D factor with itself
     (``exp(-(dx^2+dy^2)) = exp(-dx^2) * exp(-dy^2)``), so the smoothing can
     run separably on the VPU instead of as a 289-tap 2-D conv.
+
+    Even ``ksize`` is accepted (the reference's kernel builder is, too):
+    the kernel centers at ``ksize // 2`` like the reference.  Note the
+    reference's even-ksize conv (``pad=ksize//2`` on both sides) emits a
+    map one pixel LARGER than its input, silently shifting downstream peak
+    work onto that off-size map; here the output stays input-sized and
+    equals the first H x W entries of the reference's — the sane reading
+    of a config the reference only nominally supports.
     """
-    if ksize % 2 == 0:
-        raise ValueError(f"conv NMS smoothing needs odd ksize, got {ksize}")
     center = ksize // 2
     d = np.arange(ksize, dtype=np.float64) - center
     phi = np.exp(-0.5 * (d / sigma) ** 2) / np.sqrt(2.0 * np.pi * sigma ** 2)
@@ -86,21 +92,26 @@ def _separable_blur(heatmaps: jnp.ndarray, kernel, pad_mode: str
 
     heatmaps: (..., H, W) -> same shape, blurred over the last two axes.
     """
-    radius = (len(kernel) - 1) // 2
+    # Tap alignment: out[i] = sum_t k[t] * x[i + t - center] with
+    # center = len//2 — for odd kernels the usual symmetric radius; for
+    # even kernels the reference's int(ksize/2) centering (left pad one
+    # larger than right).
+    center = len(kernel) // 2
+    pads = (center, len(kernel) - 1 - center)
     orig_shape = heatmaps.shape
     h, w = orig_shape[-2], orig_shape[-1]
     x = heatmaps.reshape((-1, h, w)).astype(jnp.float32)
     taps = [float(t) for t in kernel]
     pad_kw = {} if pad_mode == "constant" else {"mode": pad_mode}
 
-    # Rows (axis -2): (N, H+2r, W) -> (N, H, W).
-    xp = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)), **pad_kw)
+    # Rows (axis -2): (N, H+k-1, W) -> (N, H, W).
+    xp = jnp.pad(x, ((0, 0), pads, (0, 0)), **pad_kw)
     acc = None
     for t, wgt in enumerate(taps):
         sl = xp[:, t:t + h, :] * wgt
         acc = sl if acc is None else acc + sl
-    # Cols (axis -1): (N, H, W+2r) -> (N, H, W).
-    yp = jnp.pad(acc, ((0, 0), (0, 0), (radius, radius)), **pad_kw)
+    # Cols (axis -1): (N, H, W+k-1) -> (N, H, W).
+    yp = jnp.pad(acc, ((0, 0), (0, 0), pads), **pad_kw)
     out = None
     for t, wgt in enumerate(taps):
         sl = yp[:, :, t:t + w] * wgt
