@@ -604,3 +604,63 @@ class TestCameraFaceMode:
         cap = CV2.VideoCapture(out)
         assert int(cap.get(CV2.CAP_PROP_FRAME_COUNT)) == 3
         cap.release()
+
+    def test_submit_collect_matches_detect_crops(self):
+        from tpupose.detectors import HandDetector
+        from tpupose.config import HandConfig
+
+        det = HandDetector("handnet", cfg=HandConfig(img_size=64))
+        rng = np.random.RandomState(21)
+        crops = [rng.randint(0, 255, (40 + 3 * i, 46, 3), dtype=np.uint8)
+                 for i in range(3)]
+        types = ["left", "right", "left"]
+        serial = det.detect_batch(crops, types)
+        flips = [t == "left" for t in types]
+        pipelined = det.collect_crops(det.submit_crops(crops, flips))
+        assert serial == pipelined
+        assert det.submit_crops([]) == []
+        assert det.collect_crops([]) == []
+
+    def test_face_mode_overlaps_submit_with_collect(self, tmp_path,
+                                                    monkeypatch):
+        """Pipelining invariant: frame N's crops are DISPATCHED before
+        frame N-1's results are collected (the reference face loop is
+        strictly serial)."""
+        import tpupose.detectors as det_mod
+        from tpupose.apps import camera
+        from tpupose.detectors import FaceDetector
+
+        video = str(tmp_path / "in.mp4")
+        _write_video(video, 3, wh=(124, 92))
+
+        face_stub = FaceDetector("facenet", cfg=FaceConfig(img_size=64))
+        pose_stub = _stub_pose_detector()
+        events = []
+        real_submit = face_stub.submit_crops
+        real_collect = face_stub.collect_crops
+
+        def submit(crops, flips=None):
+            events.append("S")
+            return real_submit(crops, flips)
+
+        def collect(pending):
+            events.append("C")
+            return real_collect(pending)
+
+        monkeypatch.setattr(face_stub, "submit_crops", submit)
+        monkeypatch.setattr(face_stub, "collect_crops", collect)
+        monkeypatch.setattr(det_mod, "FaceDetector",
+                            lambda *a, **kw: face_stub)
+        monkeypatch.setattr(det_mod, "PoseDetector",
+                            lambda *a, **kw: pose_stub)
+        out = str(tmp_path / "out.mp4")
+        camera.main(["face", "--video", video, "--headless",
+                     "--save", out, "--max-frames", "3",
+                     "--face-source", "pose"])
+        # 3 frames: S0 S1 C0 S2 C1 C2 — two submits before the first
+        # collect, equal counts overall
+        assert events[:2] == ["S", "S"]
+        assert events.count("S") == 3 and events.count("C") == 3
+        cap = CV2.VideoCapture(out)
+        assert int(cap.get(CV2.CAP_PROP_FRAME_COUNT)) == 3
+        cap.release()

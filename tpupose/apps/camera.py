@@ -288,22 +288,36 @@ def run_face(args):
     cap = open_capture(args)
     emit = writer = None
     n_frames = 0
-    while True:
-        ret, img = cap.read()
-        if not ret:
-            break
+    pending = None   # (handle, img, located) in flight on device
+
+    def finish(handle, img, located):
+        nonlocal emit, writer, n_frames
         res = img.copy()
-        located = find_crops(img)
-        # one batched forward for all faces in the frame
-        all_keypoints = detector.detect_batch([c for c, _ in located])
-        for (crop, left_top), keypoints in zip(located, all_keypoints):
+        for (crop, left_top), keypoints in zip(
+                located, detector.collect_crops(handle)):
             res = draw_face_keypoints(res, keypoints, left_top)
         if emit is None:
             emit, writer = make_sink(args, img.shape, source_fps(cap))
         emit(res)
         n_frames += 1
-        if args.max_frames and n_frames >= args.max_frames:
+
+    # Software-pipelined like pose mode: frame N's crops are located and
+    # dispatched (one batched FaceNet forward, async), THEN frame N-1 is
+    # collected and drawn while N computes — the reference's face loop is
+    # strictly serial (camera_face_demo.py:26-59).
+    while True:
+        ret, img = cap.read()
+        if not ret:
             break
+        located = find_crops(img)
+        handle = detector.submit_crops([c for c, _ in located])
+        if pending is not None:
+            finish(*pending)
+        pending = (handle, img, located)
+        if args.max_frames and n_frames + 1 >= args.max_frames:
+            break
+    if pending is not None:
+        finish(*pending)
     cap.release()
     if writer is not None:
         writer.release()

@@ -137,6 +137,18 @@ class CropKeypointDetector:
         """All crops through ONE batched forward (the reference runs crops
         serially per person, ``demo.py:31-58``); per-crop resize+argmax
         tails stay jitted per geometry."""
+        return self.collect_crops(self.submit_crops(crops, flips))
+
+    def submit_crops(self, crops, flips=None):
+        """Dispatch the batched forward + per-crop tails WITHOUT blocking
+        — returns a pending handle for :meth:`collect_crops`.
+
+        The streaming-pipeline API, mirroring ``PoseDetector.submit``:
+        JAX dispatch is asynchronous, so a capture loop can overlap host
+        work (locating faces in frame N, drawing frame N-1) with device
+        compute of the crops in flight; only ``collect_crops`` forces the
+        device->host transfer.  The reference's face loop is strictly
+        serial per frame (``camera_face_demo.py:26-59``)."""
         import cv2
 
         if not crops:
@@ -150,9 +162,14 @@ class CropKeypointDetector:
                 cv2.resize(crop, (self.cfg.img_size, self.cfg.img_size)))
         heatmaps = self._batch_forward_fn(len(prepped))(
             self.variables, jnp.asarray(np.stack(prepped)))
-        out = []
+        pending = []
         for i, (crop, flip) in enumerate(zip(crops, flips)):
             target_hw, scale = self._tail_target(crop.shape[:2])
             tail = self._tail_fn(target_hw, flip)
-            out.append(self._to_keypoints(tail(heatmaps[i]), scale=scale))
-        return out
+            pending.append((tail(heatmaps[i]), scale))
+        return pending
+
+    def collect_crops(self, pending):
+        """Block on a ``submit_crops`` handle; keypoint lists per crop."""
+        return [self._to_keypoints(outputs, scale=scale)
+                for outputs, scale in pending]
