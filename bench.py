@@ -107,32 +107,70 @@ def _program_flops(jitted, *args):
         return None
 
 
-def _timed_calls(fn_call, sync, n: int, windows: int = 3):
-    """(one-call time, derived per-call device time, last output):
-    dispatch 1 then n back-to-back async calls, syncing once; on a
-    high-latency link the difference isolates queue-overlapped device
-    execution from the round-trip.  Best-of-``windows``: a tunnel
-    latency spike during either sync makes a single window's subtraction
-    garbage (even negative), so take the smallest POSITIVE estimate and
-    fall back to the raw n-call average if none survives."""
-    best = None
-    fallback = None
-    out = None
+def _chained_program(body, k: int):
+    """One jitted program executing ``body`` ``k`` times SEQUENTIALLY on
+    device: each iteration's input is perturbed by a uint8 value derived
+    from the previous iteration's outputs (``body(carry, *args)``), so
+    executions can never overlap in the device queue, the compiler cannot
+    hoist the body out of the loop (it depends on the carry) nor fold the
+    dependency away (it depends on computed data)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(*args):
+        def step(carry, _):
+            out = body(carry, *args)
+            leaves = jax.tree_util.tree_leaves(out)
+            s = sum(jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+                    for leaf in leaves)
+            # 0 for any finite computation, but data-dependent: the next
+            # iteration's inputs depend on this one's outputs.
+            return jnp.isnan(s).astype(jnp.uint8), ()
+
+        c, _ = lax.scan(step, jnp.zeros((), jnp.uint8), None, length=k)
+        return c
+
+    return run
+
+
+def _chained_time(body, args, n: int = 8, m: int = 2, windows: int = 3):
+    """Per-call device time that cannot go superluminal.
+
+    The round-2 methodology (dispatch 1 call, then n async calls, subtract)
+    mis-attributed queue overlap under tunnel jitter and produced >peak
+    per-scale rows (VERDICT r2 weak #1).  Here two chained programs of
+    length m and n run back-to-back in each window; both carry identical
+    dispatch+sync overhead, so ``(t_n - t_m) / (n - m)`` measures n-m REAL
+    device-serial executions.  ``t_n / n`` is a strict upper bound (one
+    dispatch, one sync, n chained executions); the estimate is clipped to
+    it, and windows are best-of to reject tunnel latency spikes.
+
+    Returns (per_call_seconds, upper_bound_seconds).
+    """
+    import jax
+
+    run_m = _chained_program(body, m)
+    run_n = _chained_program(body, n)
+
+    def call(run):
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(run(*args)))  # real sync (CLAUDE.md)
+        return time.perf_counter() - t0
+
+    call(run_m)  # compile
+    call(run_n)
+    best, ub = None, None
     for _ in range(windows):
-        t0 = time.perf_counter()
-        sync(fn_call())
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn_call()
-        sync(out)
-        tn = time.perf_counter() - t0
-        per_call = (tn - t1) / max(n - 1, 1)
-        raw = tn / n
-        fallback = raw if fallback is None else min(fallback, raw)
-        if per_call > 1e-6:
-            best = per_call if best is None else min(best, per_call)
-    return t1, best if best is not None else fallback, out
+        tm = call(run_m)
+        tn = call(run_n)
+        ub = tn / n if ub is None else min(ub, tn / n)
+        e = (tn - tm) / (n - m)
+        if e > 1e-6:
+            best = e if best is None else min(best, e)
+    per_call = min(best, ub) if best is not None else ub
+    return per_call, ub
 
 
 def device_breakdown(det, img, n: int = 4) -> dict:
@@ -152,9 +190,6 @@ def device_breakdown(det, img, n: int = 4) -> dict:
 
     checksum = jax.jit(lambda t: jnp.sum(t[0]) if isinstance(t, tuple)
                        else jnp.sum(t))
-
-    def sync(out):
-        np.asarray(jax.device_get(checksum(out)))
 
     out = {"image_hw": [orig_h, orig_w], "postprocess_hw": list(post_hw)}
 
@@ -178,8 +213,8 @@ def device_breakdown(det, img, n: int = 4) -> dict:
                 "overlaps device compute in streaming mode",
     }
 
-    # --- per-scale forward + map resize (the timed calls' last outputs
-    # feed the postprocess timing below — no redundant re-dispatch) -----
+    # --- per-scale forward + map resize: chained device-serial timing,
+    # each row sanity-checked against the chip's peak -------------------
     orig_dev = jnp.asarray(img)
     total_scale_ms = 0.0
     total_flops = 0.0
@@ -188,32 +223,78 @@ def device_breakdown(det, img, n: int = 4) -> dict:
     for scale, scaled_hw, padded_hw in det._pyramid_geometries(
             orig_h, orig_w):
         fn = det._device_scale_fn(post_hw, scaled_hw, padded_hw)
-        t1, per, (paf, hm) = _timed_calls(
-            lambda: fn(det.variables, orig_dev), sync, n)
+        paf, hm = fn(det.variables, orig_dev)  # outputs feed postprocess
         paf_list.append(paf)
         hm_list.append(hm)
+
+        def body(carry, variables, frame, _s=scaled_hw, _p=padded_hw):
+            return det._pyramid_scale_maps_traced(
+                variables, (frame + carry)[None], _s, _p, post_hw)
+
+        per, ub = _chained_time(body, (det.variables, orig_dev), n=n)
         flops = _program_flops(fn, det.variables, orig_dev)
+        row = {"scale": scale, "padded_hw": list(padded_hw),
+               "device_ms": round(per * 1e3, 2),
+               "device_ms_upper_bound": round(ub * 1e3, 2),
+               "gflops": round(flops / 1e9, 1) if flops else None}
+        if flops:
+            mfu = flops / per / V5E_BF16_PEAK_FLOPS
+            if mfu > 1.0:  # physically impossible: keep the upper bound
+                per = ub
+                row["device_ms"] = round(per * 1e3, 2)
+                row["note"] = "estimate exceeded chip peak; upper bound kept"
+                mfu = flops / per / V5E_BF16_PEAK_FLOPS
+            row["mfu"] = round(mfu, 4)
         total_scale_ms += per * 1e3
         if flops:
             total_flops += flops
-        scales.append({"scale": scale, "padded_hw": list(padded_hw),
-                       "device_ms": round(per * 1e3, 2),
-                       "gflops": round(flops / 1e9, 1) if flops else None})
+        scales.append(row)
     out["scales"] = scales
 
     # --- cross-scale average + full postprocess -----------------------
     avg_fn = det._avg_postprocess_fn(post_hw, len(cfg.scales))
 
-    def post_sync(result):
-        np.asarray(jax.device_get(result.num_peaks))
+    def post_body(carry, pafs0, *rest):
+        k = len(cfg.scales)
+        pl = [pafs0 + carry.astype(pafs0.dtype)] + list(rest[:k - 1])
+        hl = list(rest[k - 1:])
+        return det._avg_postprocess_traced(pl, hl, post_hw[1], k)
 
-    t1, per, _ = _timed_calls(lambda: avg_fn(paf_list, hm_list),
-                              post_sync, n)
+    per, _ = _chained_time(
+        post_body, tuple(paf_list) + tuple(hm_list), n=n)
     post_flops = _program_flops(avg_fn, paf_list, hm_list)
     out["postprocess"] = {
         "device_ms": round(per * 1e3, 2),
         "gflops": round(post_flops / 1e9, 1) if post_flops else None,
     }
+
+    # --- fused small scales (serving knob cfg.fuse_small_scales): the
+    # two smallest scales as ONE batch-2 dispatch at the larger canvas —
+    # measured against their separate dispatches above ------------------
+    geoms = det._pyramid_geometries(orig_h, orig_w)
+    fused_pair = det._fused_small_pair(geoms) if len(geoms) >= 2 else None
+    if fused_pair is None and len(geoms) >= 2:
+        fused_pair = (0, 1)  # measure the knob even when it is off
+    if fused_pair is not None:
+        i, j = fused_pair
+        geom_small = (geoms[i][1], geoms[i][2])
+        geom_large = (geoms[j][1], geoms[j][2])
+
+        def fused_body(carry, variables, frame):
+            return det._fused_pyramid_maps_traced(
+                variables, (frame + carry)[None], geom_small, geom_large,
+                post_hw)
+
+        fper, _ = _chained_time(fused_body, (det.variables, orig_dev), n=n)
+        separate_ms = scales[i]["device_ms"] + scales[j]["device_ms"]
+        out["fused_small_scales"] = {
+            "replaces_scales": [geoms[i][0], geoms[j][0]],
+            "device_ms": round(fper * 1e3, 2),
+            "separate_ms": round(separate_ms, 2),
+            "saved_ms": round(separate_ms - fper * 1e3, 2),
+            "precise_total_ms_if_fused": round(
+                total_scale_ms + per * 1e3 - separate_ms + fper * 1e3, 2),
+        }
 
     device_ms = total_scale_ms + per * 1e3
     out["per_frame"] = {
@@ -230,17 +311,23 @@ def device_breakdown(det, img, n: int = 4) -> dict:
     return out
 
 
-def fast_path_breakdown(img, n: int = 20) -> dict:
+def fast_path_breakdown(img, n: int = 10) -> dict:
     """Single-scale (fast-path) serving numbers: device-only latency of
     the ONE jitted program (normalize -> CNN -> map resize -> full
-    postprocess) with a pre-staged input, plus streaming e2e FPS."""
-    import jax
+    postprocess) with a pre-staged input, plus streaming e2e FPS.
+
+    The detector's output convs are CALIBRATED so the postprocess runs
+    with realistic peak counts — random weights emit no peaks, leaving the
+    data-dependent matching/grouping loops near-empty and the published
+    number flattering (ADVICE r2)."""
     import jax.numpy as jnp
 
     from tpupose.detectors import PoseDetector
     from tpupose.ops import compute_optimal_size
+    from tpupose.utils.calibrate import calibrate_output_convs
 
     det = PoseDetector("posenet")
+    calibrated = calibrate_output_convs(det, img)
     orig_h, orig_w = img.shape[:2]
     iw, ih = compute_optimal_size(orig_h, orig_w, det.cfg.img_size,
                                   det.cfg.downscale)
@@ -249,20 +336,18 @@ def fast_path_breakdown(img, n: int = 20) -> dict:
     import cv2
 
     staged = jnp.asarray(cv2.resize(img, (iw, ih)))
-    fn = det._fast_fn((ih, iw), (mh, mw))
-    checksum = jax.jit(lambda r: r.num_peaks)
 
-    def sync(out):
-        np.asarray(jax.device_get(checksum(out)))
+    def body(carry, variables, frame):
+        return det._fast_traced(variables, frame + carry, (mh, mw))
 
-    _, per_call, _ = _timed_calls(
-        lambda: fn(det.variables, staged), sync, n)
+    per_call, _ = _chained_time(body, (det.variables, staged), n=n)
     stream = measure_streaming_fps(det, img, frames=8, windows=3)
     return {
         "input_hw": [ih, iw], "map_hw": [mh, mw],
         "device_ms": round(per_call * 1e3, 2),
         "device_only_fps": round(1.0 / per_call, 1),
         "streaming_fps": round(stream, 2),
+        "calibrated_weights": calibrated,
     }
 
 
@@ -283,6 +368,11 @@ def main(argv=None) -> None:
 
     img = load_test_image()
     det = PoseDetector("posenet", precise=True)
+    # Calibrated output convs: the postprocess runs with realistic peak
+    # counts instead of a random net's empty maps (ADVICE r2).
+    from tpupose.utils.calibrate import calibrate_output_convs
+
+    calibrate_output_convs(det, img)
 
     # Warmup: compile every per-scale geometry + the postprocess.
     for _ in range(args.warmup):

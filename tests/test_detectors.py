@@ -350,3 +350,90 @@ class TestCropLimbSemantics:
                 else:
                     assert abs(ka[0] - kb[0]) <= 2
                     assert abs(ka[1] - kb[1]) <= 2
+
+
+class TestFusedSmallScales:
+    """cfg.fuse_small_scales: the two smallest pyramid scales ride ONE
+    batch-2 dispatch at the larger one's padded canvas (serving knob,
+    default off = exact reference pyramid)."""
+
+    class _LocalStubModel:
+        """Per-pixel 'network': stride-8 average pools of the input.  A
+        local model is unaffected by extra canvas context, so fused and
+        unfused pyramids must agree EXACTLY except where the tail
+        resize's cubic taps cross the crop border."""
+
+        def apply(self, variables, x):
+            b, h, w = x.shape[0], x.shape[1], x.shape[2]
+            m = x.mean(-1).reshape(b, h // 8, 8, w // 8, 8).mean((2, 4))
+            paf = jnp.stack([m * (0.01 * (i + 1)) for i in range(38)], -1)
+            hm = jnp.stack([m * (0.02 * (i + 1)) for i in range(19)], -1)
+            return paf[None], hm[None]
+
+    def _cfg(self, fused):
+        import dataclasses
+
+        from tpupose.config import InferenceConfig
+
+        return dataclasses.replace(
+            InferenceConfig(img_size=128, scales=(0.5, 1.0),
+                            heatmap_size=128),
+            fuse_small_scales=fused)
+
+    def test_pair_selection(self):
+        from tpupose.detectors import PoseDetector
+
+        det = PoseDetector("posenet", params={"params": {}},
+                           precise=True, cfg=self._cfg(True))
+        geoms = det._pyramid_geometries(96, 128)
+        assert det._fused_small_pair(geoms) == (0, 1)
+        det_off = PoseDetector("posenet", params={"params": {}},
+                               precise=True, cfg=self._cfg(False))
+        assert det_off._fused_small_pair(geoms) is None
+        # host pyramid: no device canvas to fuse on
+        import dataclasses
+
+        det_host = PoseDetector(
+            "posenet", params={"params": {}}, precise=True,
+            cfg=dataclasses.replace(self._cfg(True), device_pyramid=False))
+        assert det_host._fused_small_pair(geoms) is None
+
+    def test_fused_maps_match_unfused_away_from_borders(self):
+        from tpupose.detectors import PoseDetector
+
+        img = np.random.RandomState(6).randint(
+            0, 255, (192, 256, 3), dtype=np.uint8)
+        det = PoseDetector("posenet", params={"params": {}},
+                           precise=True, cfg=self._cfg(False))
+        det.model = self._LocalStubModel()
+        det_f = PoseDetector("posenet", params={"params": {}},
+                             precise=True, cfg=self._cfg(True))
+        det_f.model = self._LocalStubModel()
+        (paf, hm), _ = det.compute_maps(img)
+        (paf_f, hm_f), _ = det_f.compute_maps(img)
+        # interior: the ONLY legitimate difference region is where the
+        # tail resize's cubic taps clamp at the small scale's crop edge
+        # in the unfused canvas but read real (pad-value-driven) cells in
+        # the fused one — last ~20 crop px, smeared by the final upsample
+        pad = 64
+        np.testing.assert_allclose(
+            np.asarray(hm)[:, pad:-pad, pad:-pad],
+            np.asarray(hm_f)[:, pad:-pad, pad:-pad], atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(paf)[:, pad:-pad, pad:-pad],
+            np.asarray(paf_f)[:, pad:-pad, pad:-pad], atol=1e-6)
+
+    def test_fused_batched_matches_fused_single(self):
+        from tpupose.detectors import PoseDetector
+
+        rng = np.random.RandomState(7)
+        imgs = rng.randint(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+        det = PoseDetector("posenet", params={"params": {}},
+                           precise=True, cfg=self._cfg(True))
+        det.model = self._LocalStubModel()
+        batched = det.detect_batch(imgs)
+        for i in range(2):
+            poses_s, scores_s = det(imgs[i])
+            poses_b, scores_b = batched[i]
+            np.testing.assert_array_equal(poses_s, poses_b)
+            np.testing.assert_allclose(scores_s, scores_b, rtol=1e-5)

@@ -175,6 +175,16 @@ class InferenceConfig:
     # host cv2.INTER_CUBIC pyramid as the reference (``pose_detector.py:
     # 441-445``), uploading every scale.
     device_pyramid: bool = True
+    # Serving knob (False = exact reference pyramid semantics): run the
+    # two smallest precise-mode scales as ONE batch-2 dispatch at the
+    # larger one's padded geometry (device pyramid only).  The small
+    # scales are launch/bandwidth-bound at 184-368px and contribute
+    # several ms at single-digit MFU when dispatched separately
+    # (BASELINE.md round-2 per-scale table); batching them rides the MXU
+    # once.  The smaller scale's network inputs gain pad_value context
+    # beyond its stride pad, so map values within a receptive field of
+    # its right/bottom border can shift slightly vs the reference.
+    fuse_small_scales: bool = False
     # Serving knob (0 = off = exact reference semantics): cap the
     # precise-mode postprocess resolution so cross-scale averaging and
     # peak finding run at <= this long-side length instead of the

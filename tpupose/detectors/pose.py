@@ -113,15 +113,19 @@ class PoseDetector:
         return (jnp.transpose(paf, (2, 0, 1)),
                 jnp.transpose(hm, (2, 0, 1)))
 
+    def _fast_traced(self, variables, img_u8, map_hw):
+        """Full fast-path body (forward + map resize + postprocess) —
+        shared by the jitted program and the bench's chained device
+        timer."""
+        paf, hm = self._fast_maps_traced(variables, img_u8, map_hw)
+        return postprocess_pose(paf, hm, jnp.float32(map_hw[1]), self.cfg)
+
     def _fast_fn(self, in_hw: Tuple[int, int], map_hw: Tuple[int, int]):
         key = (in_hw, map_hw)
         if key not in self._fast_fns:
-            cfg = self.cfg
 
             def fn(variables, img_u8):
-                paf, hm = self._fast_maps_traced(variables, img_u8, map_hw)
-                return postprocess_pose(
-                    paf, hm, jnp.float32(map_hw[1]), cfg)
+                return self._fast_traced(variables, img_u8, map_hw)
 
             self._fast_fns[key] = jax.jit(fn)
         return self._fast_fns[key]
@@ -319,23 +323,56 @@ class PoseDetector:
         (``pose_detector.py:441-445``): the original frame is uploaded
         once for all scales (the remote-chip link here moves ~26 MB/s, so
         shipping each scaled copy dominated precise-mode latency)."""
-        s_h, s_w = scaled_hw
-        p_h, p_w = padded_hw
-        pad_val = jnp.asarray(self.cfg.pad_value, jnp.float32)
-        img = resize_cv2_cubic(imgs_u8.astype(jnp.float32), (s_h, s_w))
-        # cv2 resizes in uint8 (round + saturate); emulate the
-        # quantization so downstream values match within 1 LSB.
-        img = jnp.clip(jnp.round(img), 0.0, 255.0)
-        img = jnp.pad(
-            img, ((0, 0), (0, p_h - s_h), (0, p_w - s_w), (0, 0)),
-            constant_values=0.0)
-        pad_mask = jnp.zeros((p_h, p_w, 1), jnp.float32)
-        pad_mask = pad_mask.at[:s_h, :s_w].set(1.0)
-        img = img * pad_mask + pad_val * (1.0 - pad_mask)
-        x = img / 255.0 - 0.5
+        x = self._scaled_on_canvas_traced(
+            imgs_u8, scaled_hw, padded_hw) / 255.0 - 0.5
         pafs, heatmaps = self.model.apply(variables, x)
         return self._scale_tail_traced(
             pafs[-1], heatmaps[-1], padded_hw, scaled_hw, post_hw)
+
+    def _scaled_on_canvas_traced(self, imgs_u8, scaled_hw, canvas_hw):
+        """(B, H, W, 3) original u8 frames -> (B, c_h, c_w, 3) float
+        frames: cubic-resized to ``scaled_hw`` (cv2 uint8 quantization
+        emulated), placed top-left on a ``canvas_hw`` canvas filled with
+        ``cfg.pad_value`` — the shared canvas builder for the per-scale
+        and fused pyramid programs."""
+        s_h, s_w = scaled_hw
+        c_h, c_w = canvas_hw
+        pad_val = jnp.asarray(self.cfg.pad_value, jnp.float32)
+        img = resize_cv2_cubic(imgs_u8.astype(jnp.float32), (s_h, s_w))
+        img = jnp.clip(jnp.round(img), 0.0, 255.0)
+        img = jnp.pad(
+            img, ((0, 0), (0, c_h - s_h), (0, c_w - s_w), (0, 0)),
+            constant_values=0.0)
+        pad_mask = jnp.zeros((c_h, c_w, 1), jnp.float32)
+        pad_mask = pad_mask.at[:s_h, :s_w].set(1.0)
+        return img * pad_mask + pad_val * (1.0 - pad_mask)
+
+    def _fused_pyramid_maps_traced(self, variables, imgs_u8, geom_small,
+                                   geom_large, post_hw):
+        """Two pyramid scales through ONE forward (``cfg.fuse_small_scales``):
+        both scaled frames ride the larger scale's padded canvas as a
+        2B-batch, keeping the MXU busy where two separate small dispatches
+        are launch/bandwidth-bound.  Returns
+        ((paf_small, hm_small), (paf_large, hm_large)) at postprocess
+        resolution.
+
+        The smaller scale sees pad_value canvas beyond its own stride pad,
+        so its maps within a receptive field of the image border differ
+        slightly from the separate-dispatch (reference) pyramid — a
+        documented serving trade-off, off by default."""
+        (s_small, _), (s_large, p_large) = geom_small, geom_large
+        b = imgs_u8.shape[0]
+        x = jnp.concatenate(
+            [self._scaled_on_canvas_traced(imgs_u8, s_small, p_large),
+             self._scaled_on_canvas_traced(imgs_u8, s_large, p_large)],
+            axis=0) / 255.0 - 0.5
+        pafs, heatmaps = self.model.apply(variables, x)
+        paf, hm = pafs[-1], heatmaps[-1]
+        small = self._scale_tail_traced(
+            paf[:b], hm[:b], p_large, s_small, post_hw)
+        large = self._scale_tail_traced(
+            paf[b:], hm[b:], p_large, s_large, post_hw)
+        return small, large
 
     def _padded_scale_maps_traced(self, variables, imgs_u8, pad, post_hw):
         """Host pyramid: (B, p_h, p_w, 3) frames already cv2-resized and
@@ -361,19 +398,24 @@ class PoseDetector:
             self._scale_fns[key] = jax.jit(fn)
         return self._scale_fns[key]
 
+    def _avg_postprocess_traced(self, paf_list, hm_list, o_w, n_scales):
+        """Cross-scale average + full postprocess body — shared by the
+        jitted program and the bench's chained device timer."""
+        paf = sum(paf_list) / n_scales
+        hm = sum(hm_list) / n_scales
+        return postprocess_pose(
+            jnp.transpose(paf, (2, 0, 1)),
+            jnp.transpose(hm, (2, 0, 1)),
+            jnp.float32(o_w), self.cfg)
+
     def _avg_postprocess_fn(self, orig_hw: Tuple[int, int], n_scales: int):
         key = (orig_hw, n_scales)
         if key not in self._avg_fns:
-            cfg = self.cfg
             o_w = orig_hw[1]
 
             def fn(paf_list, hm_list):
-                paf = sum(paf_list) / n_scales
-                hm = sum(hm_list) / n_scales
-                return postprocess_pose(
-                    jnp.transpose(paf, (2, 0, 1)),
-                    jnp.transpose(hm, (2, 0, 1)),
-                    jnp.float32(o_w), cfg)
+                return self._avg_postprocess_traced(
+                    paf_list, hm_list, o_w, n_scales)
 
             self._avg_fns[key] = jax.jit(fn)
         return self._avg_fns[key]
@@ -409,6 +451,50 @@ class PoseDetector:
             def fn(variables, orig_u8):      # (B, H, W, 3)
                 return self._pyramid_scale_maps_traced(
                     variables, orig_u8, scaled_hw, padded_hw, post_hw)
+
+            self._scale_fns[key] = self._jit_batched(fn)
+        return self._scale_fns[key]
+
+    def _fused_small_pair(self, geoms):
+        """Indices (small, large) of the two smallest pyramid scales when
+        ``cfg.fuse_small_scales`` applies to this geometry, else None.
+        The ONE place the fusing decision lives, shared by the
+        single-frame and batched precise paths."""
+        if not (self.cfg.fuse_small_scales and self.cfg.device_pyramid
+                and len(geoms) >= 2):
+            return None
+        order = sorted(range(len(geoms)),
+                       key=lambda k: geoms[k][2][0] * geoms[k][2][1])
+        i, j = order[0], order[1]
+        # the larger canvas must contain the smaller scaled frame
+        if (geoms[i][1][0] <= geoms[j][2][0]
+                and geoms[i][1][1] <= geoms[j][2][1]):
+            return i, j
+        return None
+
+    def _fused_scale_fn(self, post_hw, geom_small, geom_large):
+        """Single-frame fused program for the two smallest scales
+        (``cfg.fuse_small_scales``); geoms are (scaled_hw, padded_hw)."""
+        key = ("fused", post_hw, geom_small, geom_large)
+        if key not in self._scale_fns:
+
+            def fn(variables, orig_u8):
+                small, large = self._fused_pyramid_maps_traced(
+                    variables, orig_u8[None], geom_small, geom_large,
+                    post_hw)
+                return ((small[0][0], small[1][0]),
+                        (large[0][0], large[1][0]))
+
+            self._scale_fns[key] = jax.jit(fn)
+        return self._scale_fns[key]
+
+    def _batch_fused_scale_fn(self, batch, post_hw, geom_small, geom_large):
+        key = ("bfused", batch, post_hw, geom_small, geom_large)
+        if key not in self._scale_fns:
+
+            def fn(variables, orig_u8):      # (B, H, W, 3)
+                return self._fused_pyramid_maps_traced(
+                    variables, orig_u8, geom_small, geom_large, post_hw)
 
             self._scale_fns[key] = self._jit_batched(fn)
         return self._scale_fns[key]
@@ -496,9 +582,19 @@ class PoseDetector:
 
         orig_dev = jnp.asarray(imgs) if self.cfg.device_pyramid else None
         paf_list, hm_list = [], []
-        for scale, scaled_hw, padded_hw in self._pyramid_geometries(
-                orig_h, orig_w):
-            if self.cfg.device_pyramid:
+        geoms = self._pyramid_geometries(orig_h, orig_w)
+        fused = {}
+        pair = self._fused_small_pair(geoms)
+        if pair is not None:
+            i, j = pair
+            fn = self._batch_fused_scale_fn(
+                b, post_hw, (geoms[i][1], geoms[i][2]),
+                (geoms[j][1], geoms[j][2]))
+            fused[i], fused[j] = fn(self.variables, orig_dev)
+        for k, (scale, scaled_hw, padded_hw) in enumerate(geoms):
+            if k in fused:
+                paf, hm = fused[k]
+            elif self.cfg.device_pyramid:
                 fn = self._batch_scale_fn(b, post_hw, scaled_hw, padded_hw)
                 paf, hm = fn(self.variables, orig_dev)
             else:
@@ -547,9 +643,19 @@ class PoseDetector:
         paf_list, hm_list = [], []
         orig_dev = (jnp.asarray(orig_img)
                     if self.cfg.device_pyramid else None)
-        for scale, scaled_hw, padded_hw in self._pyramid_geometries(
-                orig_h, orig_w):
-            if self.cfg.device_pyramid:
+        geoms = self._pyramid_geometries(orig_h, orig_w)
+        fused = {}
+        pair = self._fused_small_pair(geoms)
+        if pair is not None:
+            i, j = pair
+            fn = self._fused_scale_fn(
+                post_hw, (geoms[i][1], geoms[i][2]),
+                (geoms[j][1], geoms[j][2]))
+            fused[i], fused[j] = fn(self.variables, orig_dev)
+        for k, (scale, scaled_hw, padded_hw) in enumerate(geoms):
+            if k in fused:
+                paf, hm = fused[k]
+            elif self.cfg.device_pyramid:
                 fn = self._device_scale_fn(post_hw, scaled_hw, padded_hw)
                 paf, hm = fn(self.variables, orig_dev)
             else:
