@@ -351,6 +351,169 @@ def fast_path_breakdown(img, n: int = 10) -> dict:
     }
 
 
+# Overridable by the CPU smoke test (full-size face/hand compiles take
+# minutes on this box's single core): cfg objects for the crop nets
+# (None = production config) and the crop batch sizes to measure.
+CASCADE_FACE_CFG = None
+CASCADE_HAND_CFG = None
+CASCADE_BATCHES = (1, 4, 8)
+CASCADE_IMAGE = "/root/reference/data/dinner.png"
+
+
+def cascade_breakdown(n: int = 6) -> dict:
+    """BASELINE configs 3-4: FaceNet/HandNet crop inference and the full
+    demo cascade (pose -> anthropometric crops -> face/hand nets) on the
+    dinner.png crowd scene.
+
+    Crop-net rows are chained device-only times of the COMPLETE per-batch
+    pipeline (normalize -> ~50-conv forward -> per-crop resize+blur+argmax
+    tails); the cascade row is host-to-host wall time of
+    ``apps.demo.run_cascade`` with calibrated pose weights so real crops
+    flow (best-of windows over the tunnel)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from tpupose.apps.demo import run_cascade
+    from tpupose.detectors import FaceDetector, HandDetector, PoseDetector
+    from tpupose.utils.calibrate import calibrate_output_convs
+
+    img = cv2.imread(CASCADE_IMAGE)
+    if img is None:
+        return {"skipped": f"cascade image {CASCADE_IMAGE} unavailable"}
+    out = {}
+
+    rng = np.random.RandomState(3)
+    face_kw = {"cfg": CASCADE_FACE_CFG} if CASCADE_FACE_CFG else {}
+    hand_kw = {"cfg": CASCADE_HAND_CFG} if CASCADE_HAND_CFG else {}
+    for name, det in (("facenet", FaceDetector("facenet", **face_kw)),
+                      ("handnet", HandDetector("handnet", **hand_kw))):
+        size = det.cfg.img_size
+        rows = []
+        for b in CASCADE_BATCHES:
+            staged = jnp.asarray(rng.randint(
+                0, 255, (b, size, size, 3), dtype=np.uint8))
+
+            def body(carry, variables, crops_u8, _b=b, _det=det):
+                x = ((crops_u8 + carry).astype(jnp.float32) / 256.0
+                     - 0.5)
+                hm = _det.model.apply(variables, x)[-1]
+                return [_det._tail_traced(hm[i], (size, size), False)
+                        for i in range(_b)]
+
+            per, _ = _chained_time(body, (det.variables, staged), n=n)
+            rows.append({"batch": b, "device_ms": round(per * 1e3, 2),
+                         "ms_per_crop": round(per * 1e3 / b, 2)})
+        out[name] = rows
+
+    pose = PoseDetector("posenet")
+    calibrate_output_convs(pose, img)
+    # bounded tail programs for the crowd's many unique crop sizes
+    face = FaceDetector("facenet", tail_stride=16, **face_kw)
+    hand = HandDetector("handnet", tail_stride=16, **hand_kw)
+    _, results = run_cascade(img, pose, face, hand)  # compile warmup
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, results = run_cascade(img, pose, face, hand)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out["demo_cascade_e2e"] = {
+        "image": os.path.basename(CASCADE_IMAGE), "wall_ms": round(best * 1e3, 1),
+        "people": len(results["poses"]),
+        "faces": len(results["faces"]),
+        "hands": len(results["hands"]),
+        "note": "host-to-host over the remote tunnel; includes pose "
+                "forward+postprocess, crop derivation, and one batched "
+                "forward per crop net (ref demo.py runs 1+3N serial "
+                "passes)",
+    }
+    return out
+
+
+def train_breakdown(n: int = 8, windows: int = 3,
+                    batch: int = None, insize: int = None) -> dict:
+    """Reference training config (batch 10 @ 368, fwd+bwd+Chainer-Adam,
+    on-device GT rendering): steady-state step time and MFU for f32 vs
+    bf16 compute (params/optimizer/loss stay f32 either way).
+
+    Methodology: successive steps chain through the donated TrainState
+    (step N+1 consumes step N's params), so the device executions can
+    never overlap and ``total/n`` cannot go superluminal; windows are
+    best-of to reject tunnel latency spikes.  Also reports the GT
+    render+resize share (the part of the step with no reference-side
+    cost: the reference renders GT in NumPy data workers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpupose.config import TRAIN
+    from tpupose.models import ARCHS
+    from tpupose.train.trainer import (
+        TrainBatch, _render_batch_labels, init_train_state, make_train_step,
+        pad_poses)
+
+    cfg = TRAIN
+    B = batch or cfg.batch_size
+    S = insize or cfg.insize
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (B, S, S, 3), dtype=np.uint8))
+    # multi-person pose tables so the GT renderers and masked loss are
+    # realistically loaded (empty tables leave the PAF rectangles vacuous)
+    raw = rng.rand(B, 6, 18, 3).astype(np.float32)
+    raw[..., 0] *= S
+    raw[..., 1] *= S
+    raw[..., 2] = (raw[..., 2] > 0.2).astype(np.float32) * 2
+    batch = TrainBatch(
+        imgs=imgs,
+        poses=jnp.asarray(pad_poses(list(raw), cfg.max_persons)),
+        ignore_mask=jnp.asarray(
+            rng.rand(B, S, S) < 0.05))
+
+    def sync(x):
+        # real sync: force the transfer, not just block_until_ready
+        # (remote PJRT can return early from the latter, CLAUDE.md)
+        for leaf in jax.tree_util.tree_leaves(jax.device_get(x)):
+            np.asarray(leaf)
+
+    out = {"config": {"batch": B, "insize": S}}
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = ARCHS["posenet"](dtype=dtype)
+        state, tx = init_train_state(model, cfg)
+        step = make_train_step(model, tx, cfg)
+        # FLOP estimate from the same lowering the jit call will reuse via
+        # the compilation cache; done first so the timed loop sees a fully
+        # warm program either way.
+        flops = _program_flops(step, state, batch)
+        state, _ = step(state, batch)       # compile + donate initial state
+        sync(state.step)
+        best = None
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, metrics = step(state, batch)
+            sync(state.step)
+            dt = (time.perf_counter() - t0) / n
+            best = dt if best is None else min(best, dt)
+        row = {"step_ms": round(best * 1e3, 1),
+               "steps_per_s": round(1.0 / best, 2)}
+        if flops:
+            row["tflops_per_step"] = round(flops / 1e12, 2)
+            row["mfu_vs_v5e_bf16_peak"] = round(
+                flops / best / V5E_BF16_PEAK_FLOPS, 4)
+        row["ref_300k_schedule_hours"] = round(best * 300_000 / 3600, 1)
+        out[name] = row
+        del state, step
+
+    render = jax.jit(lambda b: _render_batch_labels(b, cfg))
+    sync(render(batch))
+    per, _ = _chained_time(
+        lambda carry, b: _render_batch_labels(
+            TrainBatch(imgs=b.imgs, poses=b.poses + carry,
+                       ignore_mask=b.ignore_mask), cfg),
+        (batch,), n=6)
+    out["gt_render_ms"] = round(per * 1e3, 2)
+    return out
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--detail", action="store_true",
@@ -362,7 +525,15 @@ def main(argv=None) -> None:
                    default=os.path.join(
                        os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_DETAILS.json"))
+    p.add_argument("--train", action="store_true",
+                   help="ONLY measure the reference-config train step "
+                        "(f32 vs bf16 + GT-render share) and print the "
+                        "JSON to stdout (heavy: two full train compiles)")
     args = p.parse_args(argv)
+
+    if args.train:
+        print(json.dumps(train_breakdown(), indent=1))
+        return
 
     from tpupose.detectors import PoseDetector
 
@@ -392,6 +563,7 @@ def main(argv=None) -> None:
             **device_breakdown(det, img),
         }
         detail["fast_path"] = fast_path_breakdown(img)
+        detail["cascade"] = cascade_breakdown()
         dev_ms = detail["per_frame"]["device_ms_total"]
         detail["analysis"] = (
             f"e2e streaming {1e3 / stream_fps:.1f} ms/frame vs "

@@ -50,6 +50,13 @@ def test_bench_main_executes_and_emits_contract_line(monkeypatch, capsys,
     tiny = np.random.RandomState(0).randint(0, 255, (48, 64, 3),
                                             dtype=np.uint8)
     monkeypatch.setattr(bench, "load_test_image", lambda: tiny)
+    # Shrink the cascade section (full-size face/hand compiles take
+    # minutes on one CPU core) while still executing its code path.
+    from tpupose.config import FaceConfig, HandConfig
+
+    monkeypatch.setattr(bench, "CASCADE_FACE_CFG", FaceConfig(img_size=64))
+    monkeypatch.setattr(bench, "CASCADE_HAND_CFG", HandConfig(img_size=64))
+    monkeypatch.setattr(bench, "CASCADE_BATCHES", (1,))
 
     detail_out = str(tmp_path / "details.json")
     bench.main(["--frames", "2", "--warmup", "1", "--detail",
@@ -101,3 +108,21 @@ def test_dryrun_falls_back_to_subprocess_when_backend_too_small():
                        text=True, timeout=600, env=env, cwd=REPO)
     assert r.returncode == 0, r.stderr[-1500:]
     assert "dryrun_multichip(2)" in r.stdout
+
+
+def test_dryrun_multiprocess_two_hosts():
+    """VERDICT r2 #8: the multi-host (DCN) path as a standing check —
+    2 jax.distributed processes x 2 virtual devices each, the FULL train
+    step jitted over the global (data, spatial) mesh with the batch fed
+    as global arrays from process-local shards."""
+    code = (
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(4, processes=2)\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=900, env=_clean_env(), cwd=REPO)
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "proc 0/2: dryrun_multichip(4)" in r.stdout
+    assert "proc 1/2: dryrun_multichip(4)" in r.stdout
+    assert "processes=2" in r.stdout

@@ -87,6 +87,12 @@ def main(argv=None):
                    help="peak NMS semantics: 'scipy' = the reference CPU "
                         "path (golden-image parity target), 'conv' = its "
                         "GPU path (17x17 zero-pad conv, >= rule)")
+    p.add_argument("--tail-stride", type=int, default=16,
+                   help="round face/hand tail-resize targets up to this "
+                        "multiple so a crowd of unique person sizes "
+                        "compiles a bounded set of tail programs instead "
+                        "of one per crop (<= ~1 px keypoint shift); 1 = "
+                        "exact per-crop reference semantics")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -101,9 +107,11 @@ def main(argv=None):
         "posenet", weights_file=args.pose_weights, precise=args.precise,
         cfg=cfg, compute_dtype=dtype)
     face_detector = FaceDetector("facenet", weights_file=args.face_weights,
-                                 compute_dtype=dtype)
+                                 compute_dtype=dtype,
+                                 tail_stride=args.tail_stride)
     hand_detector = HandDetector("handnet", weights_file=args.hand_weights,
-                                 compute_dtype=dtype)
+                                 compute_dtype=dtype,
+                                 tail_stride=args.tail_stride)
 
     img = cv2.imread(args.img)
     if img is None:

@@ -90,19 +90,24 @@ class CropKeypointDetector:
         return (th, tw), ((w - 1) / max(tw - 1, 1),
                           (h - 1) / max(th - 1, 1))
 
+    def _tail_traced(self, hm, crop_hw, flip: bool):
+        """Heatmap -> keypoints tail body (resize to crop, optional
+        un-flip, blur + per-channel global argmax) — shared by the jitted
+        per-geometry tail and the bench's chained device timer."""
+        hm = resize_chainer(hm, crop_hw)
+        if flip:
+            hm = hm[:, ::-1, :]
+        hm = jnp.transpose(hm, (2, 0, 1))
+        return global_argmax_keypoints(
+            hm[:-1], self.cfg.gaussian_sigma, self.cfg.heatmap_peak_thresh)
+
     def _tail_fn(self, crop_hw, flip: bool):
         """Heatmap -> keypoints tail, jitted per crop geometry."""
         key = ("tail", crop_hw, flip)
         if key not in self._fns:
-            cfg = self.cfg
 
             def fn(hm):
-                hm = resize_chainer(hm, crop_hw)
-                if flip:
-                    hm = hm[:, ::-1, :]
-                hm = jnp.transpose(hm, (2, 0, 1))
-                return global_argmax_keypoints(
-                    hm[:-1], cfg.gaussian_sigma, cfg.heatmap_peak_thresh)
+                return self._tail_traced(hm, crop_hw, flip)
 
             self._fns[key] = jax.jit(fn)
         return self._fns[key]

@@ -1,0 +1,63 @@
+"""Deterministic output-conv calibration for weightless benchmarking/tests.
+
+No pretrained ``coco_posenet.npz`` exists on this box (zero egress), and a
+randomly initialized CocoPoseNet emits ~1e-3-amplitude maps: no peaks, so
+the data-dependent postprocess loops (peak tables, greedy matching,
+grouping) run near-empty and any measured latency flatters the real
+workload.  This helper rescales the stage-6 output convs per channel so the
+blurred heatmaps yield ~``n_target`` above-threshold peaks per joint and
+the PAF channels have unit amplitude — the network still computes every
+real conv, and the postprocess sees realistic irregular maps.
+
+Linear and exact: the output layers have no activation, so scaling
+kernel+bias scales the emitted maps exactly.  Used by the golden-parity
+harness (``tests/test_golden_parity.py``) and by ``bench.py`` so published
+serving numbers exercise a realistically loaded postprocess
+(ADVICE r2: random weights made the fast-path numbers flattering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def calibrate_output_convs(det, img, n_target: int = 4) -> bool:
+    """Rescale ``det``'s stage-6 output convs in place (posenet only).
+
+    ``det``: a PoseDetector; ``img``: the BGR uint8 frame whose maps drive
+    the per-channel scale choice (``PoseDetector.compute_maps`` shares the
+    traced map code with the detection programs, so calibration sees the
+    exact tensors the postprocess will).  Returns False (no-op) when the
+    parameter tree lacks the posenet output convs (e.g. a stubbed model in
+    tests)."""
+    import jax
+
+    from scipy.ndimage import gaussian_filter, maximum_filter
+
+    p = jax.tree_util.tree_map(np.asarray, det.variables)
+    try:
+        l2 = p["params"]["stage6_L2"]["Mconv7_stage6_L2"]["conv"]
+        l1 = p["params"]["stage6_L1"]["Mconv7_stage6_L1"]["conv"]
+    except (KeyError, TypeError):
+        return False
+
+    maps, _ = det.compute_maps(img)
+    paf0, hm0 = np.asarray(maps[0]), np.asarray(maps[1])
+
+    hg = np.ones(hm0.shape[0], np.float32)
+    for j in range(hm0.shape[0] - 1):  # background channel stays as-is
+        sm = gaussian_filter(hm0[j], sigma=det.cfg.gaussian_sigma)
+        mx = (sm == maximum_filter(sm, size=3)) & (sm > 0)
+        vals = np.sort(sm[mx])[::-1]
+        n = min(n_target, len(vals))
+        v = vals[n - 1] if n else 1.0
+        hg[j] = det.cfg.heatmap_peak_thresh * 1.05 / v
+    pg = (1.0 / np.maximum(np.abs(paf0).max(axis=(1, 2)), 1e-9)
+          ).astype(np.float32)
+
+    l2["kernel"] = l2["kernel"] * hg[None, None, None, :]
+    l2["bias"] = l2["bias"] * hg
+    l1["kernel"] = l1["kernel"] * pg[None, None, None, :]
+    l1["bias"] = l1["bias"] * pg
+    det.variables = p
+    return True
