@@ -22,4 +22,7 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TPUPOSE_TEST_PLATFORM=axon,cpu lets the env-gated slow parity tests
+# (TPUPOSE_SLOW_PARITY) run their full-size compiles on the real chip.
+jax.config.update("jax_platforms",
+                  os.environ.get("TPUPOSE_TEST_PLATFORM", "cpu"))
