@@ -25,7 +25,8 @@ import numpy as np
 from tpupose.models import ARCHS
 from tpupose.ops.peaks import global_argmax_keypoints
 from tpupose.ops.resize import resize_chainer
-from tpupose.weights import params_from_npz_auto, warn_on_load_report
+from tpupose.weights import (commit_variables, params_from_npz_auto,
+                             warn_on_load_report)
 
 
 class CropKeypointDetector:
@@ -59,6 +60,9 @@ class CropKeypointDetector:
             # eager init
             dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
             self.variables = self.model.init(jax.random.PRNGKey(0), dummy)
+        # Host (numpy) trees — the npz path and user-supplied params —
+        # would be re-uploaded on EVERY dispatch; commit once.
+        self.variables = commit_variables(self.variables)
         self._fns: Dict[tuple, object] = {}
 
     # ------------------------------------------------------------------

@@ -37,7 +37,8 @@ from tpupose.ops.resize import (
     resize_chainer,
     resize_cv2_cubic,
 )
-from tpupose.weights import params_from_npz_auto, warn_on_load_report
+from tpupose.weights import (commit_variables, params_from_npz_auto,
+                             warn_on_load_report)
 
 
 def preprocess_u8(img_u8: jnp.ndarray) -> jnp.ndarray:
@@ -91,6 +92,10 @@ class PoseDetector:
             # the eager init cheap (368px costs seconds per detector)
             dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
             self.variables = self.model.init(jax.random.PRNGKey(0), dummy)
+        # Host (numpy) trees — the npz path and user-supplied params —
+        # would be re-uploaded on EVERY dispatch; commit once (replicated
+        # over the mesh when one is attached).
+        self.variables = commit_variables(self.variables, mesh=mesh)
         # jit caches keyed by static geometry.
         self._fast_fns: Dict[tuple, object] = {}
         self._scale_fns: Dict[tuple, object] = {}

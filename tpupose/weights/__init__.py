@@ -1,4 +1,5 @@
 from tpupose.weights.chainer_npz import (
+    commit_variables,
     load_npz_params,
     params_from_npz_auto,
     save_npz_params,

@@ -147,6 +147,25 @@ def warn_on_load_report(report, path: str, arch: str = "posenet") -> None:
             RuntimeWarning, stacklevel=3)
 
 
+def commit_variables(variables, mesh=None):
+    """Place a (possibly host/numpy) variable tree on device ONCE.
+    Detectors must hold committed device arrays: host arrays passed to
+    ``jit`` are re-transferred on EVERY call, and over a remote PJRT
+    tunnel that re-ships the full ~200 MB CocoPoseNet tree per frame
+    (measured: 27 s/frame streaming vs 66 ms with committed params).
+
+    With a ``mesh``, commits replicated over it (a tree committed to one
+    device would conflict with the meshed programs' device assignment)."""
+    import jax
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(
+            variables, NamedSharding(mesh, PartitionSpec()))
+    return jax.device_put(variables)
+
+
 def params_from_npz_auto(path: str, model, insize: int = 32):
     """Convenience: init ``model`` then load ``path`` over it.
 
