@@ -503,14 +503,20 @@ def train_breakdown(n: int = 8, windows: int = 3,
         out[name] = row
         del state, step
 
-    render = jax.jit(lambda b: _render_batch_labels(b, cfg))
-    sync(render(batch))
-    per, _ = _chained_time(
-        lambda carry, b: _render_batch_labels(
-            TrainBatch(imgs=b.imgs, poses=b.poses + carry,
-                       ignore_mask=b.ignore_mask), cfg),
-        (batch,), n=6)
-    out["gt_render_ms"] = round(per * 1e3, 2)
+    # GT render share: the step renders directly at the stage output
+    # resolution (cfg.gt_at_output_res); also report the legacy
+    # full-input-res render + loss-resize path it replaced.
+    out_hw = (S // 8, S // 8)
+    for key, kw in (("gt_render_ms", {"out_hw": out_hw}),
+                    ("gt_render_fullres_ms", {})):
+        render = jax.jit(lambda b, _kw=kw: _render_batch_labels(b, cfg, **_kw))
+        sync(render(batch))
+        per, _ = _chained_time(
+            lambda carry, b, _kw=kw: _render_batch_labels(
+                TrainBatch(imgs=b.imgs, poses=b.poses + carry,
+                           ignore_mask=b.ignore_mask), cfg, **_kw),
+            (batch,), n=6)
+        out[key] = round(per * 1e3, 2)
     return out
 
 

@@ -72,6 +72,52 @@ class TestGTRendering:
         paf = np.asarray(render_pafs(jnp.asarray(poses), 16, 16, 8.0))
         np.testing.assert_allclose(paf, 0.0)
 
+    def test_output_res_render_equals_fullres_plus_resize(self):
+        """render_labels_at must reproduce the reference pipeline (full-res
+        render, then align-corners bilinear downsample in the loss) to
+        summation-order tolerance — on a non-square, non-divisible grid."""
+        from tpupose.data.gt import render_labels, render_labels_at
+        from tpupose.ops.resize import resize_chainer
+
+        rng = np.random.RandomState(7)
+        h, w, out_hw = 56, 48, (7, 6)
+        poses = jnp.asarray(_random_poses(rng, 4, h, w))
+        pafs_f, heat_f = render_labels(poses, h, w, 7.0, 8.0)
+
+        def down(chw):  # (C, H, W) -> (C, oh, ow) via the loss's resize
+            return jnp.transpose(
+                resize_chainer(jnp.transpose(chw, (1, 2, 0))[None],
+                               out_hw)[0], (2, 0, 1))
+
+        pafs_d, heat_d = render_labels_at(poses, h, w, out_hw, 7.0, 8.0)
+        np.testing.assert_allclose(np.asarray(pafs_d),
+                                   np.asarray(down(pafs_f)), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(heat_d),
+                                   np.asarray(down(heat_f)), atol=1e-5)
+
+    def test_loss_matches_across_gt_render_paths(self):
+        """The train-step loss with gt_at_output_res on/off must agree (the
+        two GT paths are the same math)."""
+        from tpupose.train.trainer import loss_for_batch
+
+        rng = np.random.RandomState(3)
+        cfg_fast = TrainConfig(insize=32, max_persons=2)
+        cfg_ref = TrainConfig(insize=32, max_persons=2,
+                              gt_at_output_res=False)
+        model = ARCHS["posenet"]()
+        state, _ = init_train_state(model, cfg_fast, insize=32)
+        poses = np.zeros((2, 2, 18, 3), np.float32)
+        poses[:, 0] = _random_poses(rng, 2, 32, 32)
+        batch = TrainBatch(
+            imgs=jnp.asarray(rng.randint(0, 255, (2, 32, 32, 3),
+                                         dtype=np.uint8)),
+            poses=jnp.asarray(poses),
+            ignore_mask=jnp.asarray(rng.rand(2, 32, 32) < 0.2),
+        )
+        t_fast, _ = loss_for_batch(model, state.params, batch, cfg_fast)
+        t_ref, _ = loss_for_batch(model, state.params, batch, cfg_ref)
+        np.testing.assert_allclose(float(t_fast), float(t_ref), rtol=1e-5)
+
 
 class TestLoss:
     def test_masked_pixels_have_zero_grad(self):
@@ -188,6 +234,35 @@ class TestOptimizer:
             state, metrics = step(state, batch)
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0]
+
+    def test_bf16_compute_tracks_f32(self):
+        """bf16 compute (f32 params/optimizer/loss) is the documented fast
+        training config — its loss trajectory must track f32 closely."""
+        cfg = TrainConfig(insize=32, stem_freeze_steps=0, max_persons=2)
+        rng = np.random.RandomState(0)
+        poses = np.zeros((2, 2, 18, 3), np.float32)
+        poses[:, 0] = _random_poses(rng, 2, 32, 32)
+        batch = TrainBatch(
+            imgs=jnp.asarray(rng.randint(0, 255, (2, 32, 32, 3),
+                                         dtype=np.uint8)),
+            poses=jnp.asarray(poses),
+            ignore_mask=jnp.zeros((2, 32, 32), bool),
+        )
+        traj = {}
+        for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            model = ARCHS["posenet"](dtype=dtype)
+            state, tx = init_train_state(model, cfg, insize=32)
+            step = make_train_step(model, tx, cfg, donate=False)
+            losses = []
+            for _ in range(4):
+                state, metrics = step(state, batch)
+                losses.append(float(metrics["loss"]))
+            # params stay f32 regardless of compute dtype
+            k = state.params["stem"]["conv1_1"]["conv"]["kernel"]
+            assert k.dtype == jnp.float32
+            traj[name] = losses
+        assert traj["bf16"][-1] < traj["bf16"][0]
+        np.testing.assert_allclose(traj["bf16"], traj["f32"], rtol=0.05)
 
 
 class TestShardedStep:

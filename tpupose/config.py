@@ -243,6 +243,14 @@ class TrainConfig:
     # batch/resolution than the reference's batch-10 @368 on one chip.
     remat: bool = False
 
+    # Render GT maps directly at the stage output resolution instead of the
+    # reference's full-input-res render + align-corners downsample in the
+    # loss (``coco_data_loader.py:334-341`` + ``train_...py:56-60``).
+    # Numerically equivalent (same bilinear weights applied to the analytic
+    # maps; differs only in summation order, ~1e-7) and skips the
+    # (B, insize², 57ch) materialization + resize each step.
+    gt_at_output_res: bool = True
+
 
 @dataclasses.dataclass(frozen=True)
 class FaceConfig:

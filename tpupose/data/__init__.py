@@ -7,6 +7,8 @@ from tpupose.data.dataset import (
     generate_ignore_masks,
     parse_annotations,
 )
-from tpupose.data.gt import render_heatmaps, render_labels, render_pafs
+from tpupose.data.gt import (render_heatmaps, render_heatmaps_at,
+                             render_labels, render_labels_at, render_pafs,
+                             render_pafs_at)
 from tpupose.data.loader import BatchLoader
 from tpupose.data.synthetic import SyntheticCropDataset

@@ -24,6 +24,10 @@ integer coordinates, ``grid_x = arange(W)``, ``grid_y = arange(H)``.
 
 from __future__ import annotations
 
+import functools
+from typing import Optional, Tuple
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,27 +36,36 @@ from tpupose.config import LIMBS, LIMBS_FROM, LIMBS_TO, NUM_JOINTS
 _LIMB_FROM = LIMBS_FROM
 _LIMB_TO = LIMBS_TO
 
+# A "grid" is the pair (gx (1, W'), gy (H', 1)) of float32 pixel coordinates
+# the analytic maps are evaluated at.  The default is the full integer pixel
+# grid (reference convention); ``render_*_at`` passes the sparse sub-grid of
+# fine rows/cols the align-corners bilinear downsample actually reads.
+Grid = Tuple[jnp.ndarray, jnp.ndarray]
 
-def _grids(height: int, width: int):
+
+def _grids(height: int, width: int) -> Grid:
     gx = jnp.arange(width, dtype=jnp.float32)[None, :]    # (1, W)
     gy = jnp.arange(height, dtype=jnp.float32)[:, None]   # (H, 1)
     return gx, gy
 
 
 def render_heatmaps(poses: jnp.ndarray, height: int, width: int,
-                    sigma: float) -> jnp.ndarray:
+                    sigma: float, grid: Optional[Grid] = None) -> jnp.ndarray:
     """poses: (P, K, 3) float32 ``[x, y, v]`` rows (v>0 = labeled).
 
     Returns (K+1, H, W) float32 — K keypoint channels + background
     (ref ``coco_data_loader.py:216-229``).  K is 18 for the pose net; the
     same renderer serves the single-branch nets' crop GT (70 face / 21
     hand keypoints + background, matching their output channel layout).
+    With ``grid`` the maps are evaluated at those coordinates instead of the
+    full (height, width) pixel grid.
     """
+    gx, gy = grid if grid is not None else _grids(height, width)
+    height, width = gy.shape[0], gx.shape[1]
     if poses.shape[0] == 0:  # no people: all-background map
         return jnp.concatenate(
             [jnp.zeros((poses.shape[1], height, width), jnp.float32),
              jnp.ones((1, height, width), jnp.float32)], axis=0)
-    gx, gy = _grids(height, width)
     x = poses[:, :, 0][:, :, None, None]       # (P, J, 1, 1)
     y = poses[:, :, 1][:, :, None, None]
     v = poses[:, :, 2][:, :, None, None] > 0
@@ -65,13 +78,16 @@ def render_heatmaps(poses: jnp.ndarray, height: int, width: int,
 
 
 def render_pafs(poses: jnp.ndarray, height: int, width: int,
-                paf_width: float) -> jnp.ndarray:
+                paf_width: float, grid: Optional[Grid] = None) -> jnp.ndarray:
     """poses: (P, 18, 3) -> (38, H, W) float32 part-affinity fields
     (ref ``coco_data_loader.py:232-268``; limb i in channels 2i, 2i+1).
+    With ``grid`` the fields are evaluated at those coordinates instead of
+    the full (height, width) pixel grid.
     """
+    gx, gy = grid if grid is not None else _grids(height, width)
+    height, width = gy.shape[0], gx.shape[1]
     if poses.shape[0] == 0:  # no people: zero fields
         return jnp.zeros((2 * len(LIMBS), height, width), jnp.float32)
-    gx, gy = _grids(height, width)
     limb_from = jnp.asarray(_LIMB_FROM)
     limb_to = jnp.asarray(_LIMB_TO)
 
@@ -125,6 +141,75 @@ def render_labels(poses: jnp.ndarray, height: int, width: int,
     heatmaps = render_heatmaps(poses, height, width, heatmap_sigma)
     pafs = render_pafs(poses, height, width, paf_sigma)
     return pafs, heatmaps
+
+
+# ---------------------------------------------------------------------------
+# Direct rendering at the stage output resolution
+# ---------------------------------------------------------------------------
+#
+# The reference renders GT at input resolution and lets the loss bilinearly
+# downsample it to the stage output shape (``coco_data_loader.py:334-341`` +
+# ``train_coco_pose_estimation.py:56-60``).  Because the downsample is
+# align-corners bilinear, each output pixel reads at most 2x2 *integer*
+# fine-grid points — so evaluating the analytic maps only at the union of
+# fine rows/cols the resize reads and applying the same interpolation
+# weights is numerically the resize of the full-resolution render, minus the
+# (C, H, W) materialization (368² -> ~92² evaluation points at stride 8).
+
+
+@functools.lru_cache(maxsize=64)
+def _output_res_grid(in_size: int, out_size: int):
+    """(fine_coords (N,), weights (out, N)) — the align-corners bilinear
+    matrix restricted to its nonzero columns."""
+    from tpupose.ops.resize import _linear_matrix_align_corners
+
+    m = _linear_matrix_align_corners(in_size, out_size)
+    cols = np.nonzero(m.any(axis=0))[0]
+    return cols.astype(np.float32), m[:, cols].copy()
+
+
+def _subgrid_weights(height: int, width: int, out_hw: Tuple[int, int]):
+    ys, wh = _output_res_grid(height, out_hw[0])
+    xs, ww = _output_res_grid(width, out_hw[1])
+    grid = (jnp.asarray(xs)[None, :], jnp.asarray(ys)[:, None])
+    return grid, jnp.asarray(wh), jnp.asarray(ww)
+
+
+def _combine(maps: jnp.ndarray, wh: jnp.ndarray,
+             ww: jnp.ndarray) -> jnp.ndarray:
+    """(C, Ny, Nx) sub-grid maps -> (C, out_h, out_w) via the restricted
+    bilinear weights (HIGHEST to match ``ops.resize.resize_chainer``)."""
+    return jnp.einsum("oy,cyx,px->cop", wh, maps, ww,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def render_heatmaps_at(poses: jnp.ndarray, height: int, width: int,
+                       out_hw: Tuple[int, int], sigma: float) -> jnp.ndarray:
+    """``resize_chainer(render_heatmaps(...), out_hw)`` without the full-res
+    intermediate (equal up to summation order, ~1e-7)."""
+    grid, wh, ww = _subgrid_weights(height, width, out_hw)
+    return _combine(render_heatmaps(poses, height, width, sigma, grid=grid),
+                    wh, ww)
+
+
+def render_pafs_at(poses: jnp.ndarray, height: int, width: int,
+                   out_hw: Tuple[int, int], paf_width: float) -> jnp.ndarray:
+    """``resize_chainer(render_pafs(...), out_hw)`` without the full-res
+    intermediate (the per-pixel overlap average commutes with pointwise
+    evaluation, so sum/count happen at the sub-grid points)."""
+    grid, wh, ww = _subgrid_weights(height, width, out_hw)
+    return _combine(render_pafs(poses, height, width, paf_width, grid=grid),
+                    wh, ww)
+
+
+def render_labels_at(poses: jnp.ndarray, height: int, width: int,
+                     out_hw: Tuple[int, int], heatmap_sigma: float,
+                     paf_sigma: float):
+    """Render (pafs, heatmaps) directly at the stage output resolution."""
+    grid, wh, ww = _subgrid_weights(height, width, out_hw)
+    heatmaps = render_heatmaps(poses, height, width, heatmap_sigma, grid=grid)
+    pafs = render_pafs(poses, height, width, paf_sigma, grid=grid)
+    return _combine(pafs, wh, ww), _combine(heatmaps, wh, ww)
 
 
 # ---------------------------------------------------------------------------

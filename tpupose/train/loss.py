@@ -31,16 +31,23 @@ def _prepare_targets(pafs_t: jnp.ndarray, heatmaps_t: jnp.ndarray,
     """Resize NHWC GT maps + mask to the stage output shape.
 
     pafs_t: (B, H, W, 38); heatmaps_t: (B, H, W, 19); ignore_mask: (B, H, W)
-    bool or float.
+    bool or float.  GT maps may already be at ``out_hw`` (rendered there
+    directly, ``data.gt.render_labels_at``) while the mask still arrives at
+    input resolution — each is resized by its own shape.
     """
     if pafs_t.shape[1:3] != out_hw:
         pafs_t = resize_chainer(pafs_t, out_hw)
         heatmaps_t = resize_chainer(heatmaps_t, out_hw)
-        mask = resize_chainer(
-            ignore_mask.astype(jnp.float32)[..., None], out_hw)[..., 0] > 0
-    else:
-        mask = ignore_mask > 0
+    mask = _prepare_mask(ignore_mask, out_hw)
     return pafs_t, heatmaps_t, mask
+
+
+def _prepare_mask(ignore_mask: jnp.ndarray,
+                  out_hw: Tuple[int, int]) -> jnp.ndarray:
+    if ignore_mask.shape[1:3] != out_hw:
+        return resize_chainer(
+            ignore_mask.astype(jnp.float32)[..., None], out_hw)[..., 0] > 0
+    return ignore_mask > 0
 
 
 def compute_loss(pafs_ys: jnp.ndarray, heatmaps_ys: jnp.ndarray,
@@ -99,10 +106,7 @@ def compute_loss_single(heatmaps_ys: jnp.ndarray, heatmaps_t: jnp.ndarray,
     out_hw = heatmaps_ys.shape[2:4]
     if heatmaps_t.shape[1:3] != out_hw:
         heatmaps_t = resize_chainer(heatmaps_t, out_hw)
-        mask = resize_chainer(
-            ignore_mask.astype(jnp.float32)[..., None], out_hw)[..., 0] > 0
-    else:
-        mask = ignore_mask > 0
+    mask = _prepare_mask(ignore_mask, out_hw)
     m = mask[None, :, :, :, None]
     heat_gt = jnp.where(m, jax.lax.stop_gradient(heatmaps_ys),
                         heatmaps_t[None])

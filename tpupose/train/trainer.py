@@ -75,13 +75,25 @@ def init_train_state(model, cfg: TrainConfig = TRAIN, arch: str = "posenet",
     return state, tx
 
 
-def _render_batch_labels(batch: TrainBatch, cfg: TrainConfig):
-    """vmap the on-device GT renderers over the batch; returns NHWC maps."""
+def _render_batch_labels(batch: TrainBatch, cfg: TrainConfig,
+                         out_hw: Optional[Tuple[int, int]] = None):
+    """vmap the on-device GT renderers over the batch; returns NHWC maps.
+
+    With ``out_hw`` the maps are rendered directly at the stage output
+    resolution (``data.gt.render_labels_at`` — numerically the reference's
+    full-res render + align-corners downsample, minus the full-res
+    intermediate)."""
+    from tpupose.data.gt import render_labels_at
+
     h, w = batch.imgs.shape[1:3]
 
     def per_sample(poses):
-        pafs, heatmaps = render_labels(
-            poses, h, w, cfg.heatmap_sigma, cfg.paf_sigma)
+        if out_hw is not None and tuple(out_hw) != (h, w):
+            pafs, heatmaps = render_labels_at(
+                poses, h, w, tuple(out_hw), cfg.heatmap_sigma, cfg.paf_sigma)
+        else:
+            pafs, heatmaps = render_labels(
+                poses, h, w, cfg.heatmap_sigma, cfg.paf_sigma)
         # channel-first (C, H, W) -> NHWC for the loss
         return (jnp.transpose(pafs, (1, 2, 0)),
                 jnp.transpose(heatmaps, (1, 2, 0)))
@@ -89,16 +101,21 @@ def _render_batch_labels(batch: TrainBatch, cfg: TrainConfig):
     return jax.vmap(per_sample)(batch.poses)
 
 
-def _render_batch_heatmaps(batch: TrainBatch, cfg: TrainConfig):
+def _render_batch_heatmaps(batch: TrainBatch, cfg: TrainConfig,
+                           out_hw: Optional[Tuple[int, int]] = None):
     """Heatmap-only GT for the single-branch nets: batch.poses carries
     (B, P, K, 3) keypoint tables (K = 70 face / 21 hand) and the renderer
     emits K+1 channels matching the net output."""
-    from tpupose.data.gt import render_heatmaps
+    from tpupose.data.gt import render_heatmaps, render_heatmaps_at
 
     h, w = batch.imgs.shape[1:3]
 
     def per_sample(poses):
-        heatmaps = render_heatmaps(poses, h, w, cfg.heatmap_sigma)
+        if out_hw is not None and tuple(out_hw) != (h, w):
+            heatmaps = render_heatmaps_at(
+                poses, h, w, tuple(out_hw), cfg.heatmap_sigma)
+        else:
+            heatmaps = render_heatmaps(poses, h, w, cfg.heatmap_sigma)
         return jnp.transpose(heatmaps, (1, 2, 0))
 
     return jax.vmap(per_sample)(batch.poses)
@@ -120,12 +137,14 @@ def loss_for_batch(model, params, batch: TrainBatch, cfg: TrainConfig):
     if isinstance(outs, tuple):
         # two-branch CocoPoseNet: (stacked pafs, stacked heatmaps)
         pafs_ys, heatmaps_ys = outs
-        pafs_t, heatmaps_t = _render_batch_labels(batch, cfg)
+        out_hw = tuple(pafs_ys.shape[2:4]) if cfg.gt_at_output_res else None
+        pafs_t, heatmaps_t = _render_batch_labels(batch, cfg, out_hw=out_hw)
         return compute_loss(pafs_ys, heatmaps_ys, pafs_t, heatmaps_t,
                             batch.ignore_mask)
     # single-branch FaceNet/HandNet: one stacked heatmap tensor (the
     # reference trainer crashes on these archs; see compute_loss_single)
-    heatmaps_t = _render_batch_heatmaps(batch, cfg)
+    out_hw = tuple(outs.shape[2:4]) if cfg.gt_at_output_res else None
+    heatmaps_t = _render_batch_heatmaps(batch, cfg, out_hw=out_hw)
     return compute_loss_single(outs, heatmaps_t, batch.ignore_mask)
 
 
