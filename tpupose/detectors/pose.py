@@ -60,6 +60,39 @@ def pad_image_np(img: np.ndarray, stride: int,
     return out, (pad_b, pad_r)
 
 
+def emit_result(result, scale_x: float, scale_y: float, warned: bool = True):
+    """Rescale a device ``PoseResult`` to original pixels and compact to
+    dynamic (N, 18, 3) arrays (ref ``pose_detector.py:513-517``).
+
+    Returns ``(poses, scores, warned)``; pass the previous ``warned`` flag to
+    get at most one saturation warning per consumer.  One ``jax.device_get``
+    for the whole result tuple — per-field ``np.asarray`` would issue four
+    sequential round trips over the (high-latency) device link per frame."""
+    result = jax.device_get(result)
+    dropped = int(result.peaks_dropped)
+    suppressed = int(result.spawns_suppressed)
+    if (dropped or suppressed) and not warned:
+        import warnings
+
+        warned = True
+        warnings.warn(
+            f"pose postprocess capacity saturated ({dropped} peaks "
+            f"dropped beyond max_peaks_per_joint, {suppressed} person "
+            "subsets suppressed beyond max_subsets); results may "
+            "diverge from the reference on this crowd — raise "
+            "InferenceConfig.max_peaks_per_joint/max_subsets",
+            RuntimeWarning, stacklevel=4)
+    valid = np.asarray(result.valid)
+    if int(result.num_peaks) == 0 or not valid.any():
+        return np.empty((0, NUM_JOINTS, 3)), np.empty(0), warned
+    poses = np.asarray(result.poses)[valid]
+    scores = np.asarray(result.scores)[valid]
+    present = poses[:, :, 2] > 0
+    poses[:, :, 0] = np.where(present, poses[:, :, 0] * scale_x, 0.0)
+    poses[:, :, 1] = np.where(present, poses[:, :, 1] * scale_y, 0.0)
+    return poses, scores, warned
+
+
 class PoseDetector:
     """Multi-person pose detector running the full pipeline on TPU."""
 
@@ -677,34 +710,8 @@ class PoseDetector:
     # ------------------------------------------------------------------
 
     def _emit(self, result, scale_x: float, scale_y: float):
-        """Rescale to original pixels and compact to dynamic (N, 18, 3)
-        arrays (ref ``pose_detector.py:513-517``).
-
-        One ``jax.device_get`` for the whole result tuple — per-field
-        ``np.asarray`` would issue four sequential round trips over the
-        (high-latency) device link per frame."""
-        result = jax.device_get(result)
-        dropped = int(result.peaks_dropped)
-        suppressed = int(result.spawns_suppressed)
-        if (dropped or suppressed) and not self._warned_saturation:
-            import warnings
-
-            self._warned_saturation = True
-            warnings.warn(
-                f"pose postprocess capacity saturated ({dropped} peaks "
-                f"dropped beyond max_peaks_per_joint, {suppressed} person "
-                "subsets suppressed beyond max_subsets); results may "
-                "diverge from the reference on this crowd — raise "
-                "InferenceConfig.max_peaks_per_joint/max_subsets",
-                RuntimeWarning, stacklevel=3)
-        valid = np.asarray(result.valid)
-        if int(result.num_peaks) == 0 or not valid.any():
-            return (np.empty((0, NUM_JOINTS, 3)), np.empty(0))
-        poses = np.asarray(result.poses)[valid]
-        scores = np.asarray(result.scores)[valid]
-        present = poses[:, :, 2] > 0
-        poses[:, :, 0] = np.where(present, poses[:, :, 0] * scale_x, 0.0)
-        poses[:, :, 1] = np.where(present, poses[:, :, 1] * scale_y, 0.0)
+        poses, scores, self._warned_saturation = emit_result(
+            result, scale_x, scale_y, warned=self._warned_saturation)
         return poses, scores
 
     def __call__(self, orig_img: np.ndarray):
