@@ -533,12 +533,34 @@ def main(argv=None) -> None:
                        "BENCH_DETAILS.json"))
     p.add_argument("--train", action="store_true",
                    help="ONLY measure the reference-config train step "
-                        "(f32 vs bf16 + GT-render share) and print the "
-                        "JSON to stdout (heavy: two full train compiles)")
+                        "(f32 vs bf16 + GT-render share), print the JSON "
+                        "to stdout and record it under BENCH_DETAILS.json"
+                        "['train'] (heavy: two full train compiles)")
+    p.add_argument("--trace", metavar="LOGDIR",
+                   help="capture a jax.profiler device trace of a few "
+                        "precise-mode frames into LOGDIR (view with "
+                        "TensorBoard/XProf) instead of timing")
     args = p.parse_args(argv)
 
+    def merge_detail(update: dict) -> None:
+        """Overlay new sections onto BENCH_DETAILS.json, preserving
+        sections other runs own (e.g. --train's 'train')."""
+        detail = {}
+        if os.path.exists(args.detail_out):
+            try:
+                with open(args.detail_out) as f:
+                    detail = json.load(f)
+            except (OSError, ValueError):
+                detail = {}
+        detail.update(update)
+        with open(args.detail_out, "w") as f:
+            json.dump(detail, f, indent=1)
+        return detail
+
     if args.train:
-        print(json.dumps(train_breakdown(), indent=1))
+        result = train_breakdown()
+        merge_detail({"train": result})
+        print(json.dumps(result, indent=1))
         return
 
     from tpupose.detectors import PoseDetector
@@ -554,6 +576,17 @@ def main(argv=None) -> None:
     # Warmup: compile every per-scale geometry + the postprocess.
     for _ in range(args.warmup):
         det(img)
+
+    if args.trace:
+        from tpupose.utils.profiling import annotate, trace
+
+        with trace(args.trace):
+            for i, frame in enumerate(distinct_frames(img, 4)):
+                with annotate(f"precise_frame_{i}"):
+                    det(frame)
+        print(json.dumps({"metric": "trace", "logdir": args.trace,
+                          "frames": 4}))
+        return
 
     # best-of-3 windows: the tunnel's bandwidth swings 3-26 MB/s between
     # measurement windows (observed), and the driver samples once.
@@ -578,8 +611,7 @@ def main(argv=None) -> None:
             "remote PJRT tunnel "
             f"({detail['upload']['MB_per_s']} MB/s serialized) plus "
             "dispatch RPCs; a locally attached chip sees neither.")
-        with open(args.detail_out, "w") as f:
-            json.dump(detail, f, indent=1)
+        detail = merge_detail(detail)
         print(json.dumps(detail, indent=1), file=sys.stderr)
 
     print(json.dumps({

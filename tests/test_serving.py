@@ -73,9 +73,29 @@ class TestServingBundle:
                         jax.tree_util.tree_leaves(want)):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
-    def test_precise_detector_rejected(self, tmp_path):
+    def test_precise_bundle_matches_live_detector(self, tmp_path):
         det = _stub_pose_detector(precise=True)
-        with pytest.raises(ValueError, match="fast path"):
+        rng = np.random.RandomState(2)
+        img = _frame(rng)
+        want_poses, want_scores = det(img)
+        assert len(want_poses), "stub must detect people"
+
+        path = str(tmp_path / "bundle")
+        save_bundle(det, path, [img.shape[:2]], platforms=("cpu",))
+        srv = ServingPoseDetector(path)
+        assert srv.mode == "precise"
+        got_poses, got_scores = srv(img)
+        np.testing.assert_array_equal(got_poses, want_poses)
+        np.testing.assert_array_equal(got_scores, want_scores)
+
+    def test_precise_host_pyramid_rejected(self, tmp_path):
+        import dataclasses
+
+        from test_eval_apps import SMALL_CFG
+
+        det = _stub_pose_detector(precise=True)
+        det.cfg = dataclasses.replace(SMALL_CFG, device_pyramid=False)
+        with pytest.raises(ValueError, match="device_pyramid"):
             save_bundle(det, str(tmp_path / "b"), [(92, 124)])
 
     def test_export_cli(self, tmp_path):

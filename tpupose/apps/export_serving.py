@@ -38,6 +38,9 @@ def main(argv=None) -> None:
     p.add_argument("--heatmap-size", type=int, default=None,
                    help="postprocess map target "
                         "(InferenceConfig.heatmap_size)")
+    p.add_argument("--precise", action="store_true",
+                   help="export the multi-scale precise pipeline instead "
+                        "of the fast path")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -52,11 +55,13 @@ def main(argv=None) -> None:
                  if v is not None}
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
-    det = PoseDetector(args.arch, weights_file=args.weights, cfg=cfg)
+    det = PoseDetector(args.arch, weights_file=args.weights, cfg=cfg,
+                       precise=args.precise)
     sizes = parse_sizes(args.sizes)
     save_bundle(det, args.out, sizes,
                 platforms=tuple(args.platforms.split(",")))
     print(f"wrote bundle: {args.out} ({len(sizes)} geometries, "
+          f"{'precise' if args.precise else 'fast'} mode, "
           f"platforms {args.platforms})")
 
 

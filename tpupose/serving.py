@@ -2,9 +2,11 @@
 
 Production-deployment capability with no reference counterpart (the
 reference rebuilds its Chainer graph from Python source in every process,
-``pose_detector.py:16-35``): the fast-path program for each serving image
-geometry is AOT-lowered to StableHLO and serialized next to the weights, so
-a serving process loads and runs the detector
+``pose_detector.py:16-35``): the detector programs for each serving image
+geometry — the fast-path program, or precise mode's device-pyramid
+per-scale programs + cross-scale average/postprocess program — are
+AOT-lowered to StableHLO and serialized next to the weights, so a serving
+process loads and runs the detector
 
 * without the model/Flax code executing at all (no tracing, no Python
   forward definition on the serving path),
@@ -15,9 +17,10 @@ a serving process loads and runs the detector
 
 Layout of a bundle directory::
 
-    meta.json            arch, InferenceConfig, geometry table
-    params.npz           flax param tree, '/'-joined flat keys
-    fast_<H>x<W>.jexp    serialized jax.export program per image size
+    meta.json                    arch, mode, InferenceConfig, geometry table
+    params.npz                   flax param tree, '/'-joined flat keys
+    fast_<H>x<W>.jexp            fast-path program per image size, or
+    precise_<H>x<W>_scale<k>.jexp + precise_<H>x<W>_avg.jexp  (precise mode)
 
 Note on Pallas: the fast-path peak finder auto-selects a Pallas kernel only
 on a TPU backend above ~256² map area (`ops.peaks.find_peaks`); a
@@ -66,13 +69,25 @@ def _geometry(cfg: InferenceConfig, orig_h: int, orig_w: int):
 def save_bundle(det: PoseDetector, path: str,
                 image_sizes: List[Tuple[int, int]],
                 platforms: Tuple[str, ...] = ("cpu", "tpu")) -> None:
-    """AOT-export ``det``'s fast path for each (orig_h, orig_w) image size
-    and write a self-contained serving bundle to ``path``."""
+    """AOT-export ``det``'s serving programs for each (orig_h, orig_w)
+    image size and write a self-contained bundle to ``path``.
+
+    Fast detectors export one program per geometry; precise detectors
+    export the device-pyramid per-scale programs plus the cross-scale
+    average+postprocess program (one original-image upload per frame at
+    serve time, like the live detector)."""
     from flax.traverse_util import flatten_dict
 
-    if det.precise:
-        raise ValueError("serving bundles export the fast path; build the "
-                         "detector with precise=False")
+    if det.precise and not det.cfg.device_pyramid:
+        raise ValueError(
+            "precise serving bundles require cfg.device_pyramid=True (the "
+            "host-cv2 pyramid resizes on host, outside the exported "
+            "programs)")
+    if det.precise and det.cfg.fuse_small_scales:
+        raise ValueError(
+            "export with cfg.fuse_small_scales=False — the fused pair "
+            "changes small-scale border values, and bundles pin exact "
+            "serving semantics")
     os.makedirs(path, exist_ok=True)
     host_vars = jax.device_get(det.variables)
     np.savez(os.path.join(path, _PARAMS),
@@ -80,21 +95,52 @@ def save_bundle(det: PoseDetector, path: str,
     var_specs = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host_vars)
 
-    geoms: Dict[str, dict] = {}
-    for orig_h, orig_w in image_sizes:
-        in_hw, map_hw = _geometry(det.cfg, orig_h, orig_w)
-        fn = det._fast_fn(in_hw, map_hw)
-        img_spec = jax.ShapeDtypeStruct((in_hw[0], in_hw[1], 3), jnp.uint8)
-        exported = jax.export.export(fn, platforms=list(platforms))(
-            var_specs, img_spec)
-        name = f"fast_{orig_h}x{orig_w}.jexp"
+    def write(exported, name: str) -> str:
         with open(os.path.join(path, name), "wb") as f:
             f.write(exported.serialize())
-        geoms[f"{orig_h}x{orig_w}"] = {
-            "program": name, "in_hw": list(in_hw), "map_hw": list(map_hw)}
+        return name
+
+    geoms: Dict[str, dict] = {}
+    for orig_h, orig_w in image_sizes:
+        key = f"{orig_h}x{orig_w}"
+        if det.precise:
+            post_hw = det._postprocess_hw(orig_h, orig_w)
+            img_spec = jax.ShapeDtypeStruct((orig_h, orig_w, 3), jnp.uint8)
+            scale_files = []
+            for k, (scale, scaled_hw, padded_hw) in enumerate(
+                    det._pyramid_geometries(orig_h, orig_w)):
+                fn = det._device_scale_fn(post_hw, scaled_hw, padded_hw)
+                exported = jax.export.export(fn, platforms=list(platforms))(
+                    var_specs, img_spec)
+                scale_files.append(write(
+                    exported, f"precise_{key}_scale{k}.jexp"))
+            n = len(det.cfg.scales)
+            paf_spec = [jax.ShapeDtypeStruct(
+                (post_hw[0], post_hw[1], 38), jnp.float32)] * n
+            hm_spec = [jax.ShapeDtypeStruct(
+                (post_hw[0], post_hw[1], 19), jnp.float32)] * n
+            avg = jax.export.export(
+                det._avg_postprocess_fn(post_hw, n),
+                platforms=list(platforms))(paf_spec, hm_spec)
+            geoms[key] = {
+                "scale_programs": scale_files,
+                "avg_program": write(avg, f"precise_{key}_avg.jexp"),
+                "post_hw": list(post_hw),
+            }
+        else:
+            in_hw, map_hw = _geometry(det.cfg, orig_h, orig_w)
+            fn = det._fast_fn(in_hw, map_hw)
+            img_spec = jax.ShapeDtypeStruct(
+                (in_hw[0], in_hw[1], 3), jnp.uint8)
+            exported = jax.export.export(fn, platforms=list(platforms))(
+                var_specs, img_spec)
+            geoms[key] = {
+                "program": write(exported, f"fast_{key}.jexp"),
+                "in_hw": list(in_hw), "map_hw": list(map_hw)}
 
     meta = {
         "arch": det.arch,
+        "mode": "precise" if det.precise else "fast",
         "cfg": dataclasses.asdict(det.cfg),
         "platforms": list(platforms),
         "geometries": geoms,
@@ -126,17 +172,27 @@ class ServingPoseDetector:
         with open(os.path.join(path, _META)) as f:
             meta = json.load(f)
         self.arch = meta["arch"]
+        self.mode = meta.get("mode", "fast")
         self.cfg = _cfg_from_meta(meta["cfg"])
         with np.load(os.path.join(path, _PARAMS)) as z:
             params = unflatten_dict({k: z[k] for k in z.files}, sep="/")
         self.variables = commit_variables({"params": params})
+
+        def load(name):
+            with open(os.path.join(path, name), "rb") as f:
+                return jax.export.deserialize(bytearray(f.read()))
+
         self._by_size: Dict[Tuple[int, int], tuple] = {}
         for key, g in meta["geometries"].items():
             h, w = (int(t) for t in key.split("x"))
-            with open(os.path.join(path, g["program"]), "rb") as f:
-                exported = jax.export.deserialize(bytearray(f.read()))
-            self._by_size[(h, w)] = (
-                exported, tuple(g["in_hw"]), tuple(g["map_hw"]))
+            if self.mode == "precise":
+                self._by_size[(h, w)] = (
+                    [load(n) for n in g["scale_programs"]],
+                    load(g["avg_program"]), tuple(g["post_hw"]))
+            else:
+                self._by_size[(h, w)] = (
+                    load(g["program"]), tuple(g["in_hw"]),
+                    tuple(g["map_hw"]))
         self._warned_saturation = False
 
     @property
@@ -152,9 +208,18 @@ class ServingPoseDetector:
             raise ValueError(
                 f"no program exported for image size {(orig_h, orig_w)}; "
                 f"bundle serves {self.image_sizes}")
-        exported, in_hw, map_hw = entry
-        resized = cv2.resize(orig_img, (in_hw[1], in_hw[0]))
-        result = exported.call(self.variables, jnp.asarray(resized))
+        if self.mode == "precise":
+            scale_programs, avg_program, post_hw = entry
+            orig_dev = jnp.asarray(orig_img)
+            maps = [p.call(self.variables, orig_dev)
+                    for p in scale_programs]
+            result = avg_program.call([m[0] for m in maps],
+                                      [m[1] for m in maps])
+            map_hw = post_hw
+        else:
+            exported, in_hw, map_hw = entry
+            resized = cv2.resize(orig_img, (in_hw[1], in_hw[0]))
+            result = exported.call(self.variables, jnp.asarray(resized))
         poses, scores, self._warned_saturation = emit_result(
             result, orig_w / map_hw[1], orig_h / map_hw[0],
             warned=self._warned_saturation)
