@@ -165,6 +165,8 @@ class PoseDetector:
             def fn(variables, img_u8):
                 return self._fast_traced(variables, img_u8, map_hw)
 
+            # self-describing XLA module name in profiler traces
+            fn.__name__ = f"pose_fast_{in_hw[0]}x{in_hw[1]}"
             self._fast_fns[key] = jax.jit(fn)
         return self._fast_fns[key]
 
@@ -455,6 +457,7 @@ class PoseDetector:
                 return self._avg_postprocess_traced(
                     paf_list, hm_list, o_w, n_scales)
 
+            fn.__name__ = f"pose_avg_postprocess_{orig_hw[0]}x{orig_hw[1]}"
             self._avg_fns[key] = jax.jit(fn)
         return self._avg_fns[key]
 
@@ -473,6 +476,7 @@ class PoseDetector:
                     orig_hw)
                 return paf[0], hm[0]
 
+            fn.__name__ = f"pose_scale_{scaled_hw[0]}x{scaled_hw[1]}"
             self._scale_fns[key] = jax.jit(fn)
         return self._scale_fns[key]
 
