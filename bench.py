@@ -630,10 +630,9 @@ def main(argv=None) -> None:
             "programs": times,
             "note": "AUTHORITATIVE per-program device times from the "
                     "jax.profiler xplane (4 serial frames each; module "
-                    "clock is on-device). Chained-scan timing makes "
-                    "scan-invariant work (f32->bf16 weight conversion, "
-                    "layout transforms) hoistable out of the loop and can "
-                    "under-report true per-dispatch cost.",
+                    "clock is on-device). Chained-scan timing lets XLA "
+                    "optimize across loop iterations and can under-report "
+                    "true per-dispatch cost.",
         }})
         print(json.dumps({"metric": "trace", "logdir": args.trace,
                           "programs": times}, indent=1))

@@ -88,6 +88,38 @@ class TestServingBundle:
         np.testing.assert_array_equal(got_poses, want_poses)
         np.testing.assert_array_equal(got_scores, want_scores)
 
+    def test_bf16_bundle_round_trips_params(self, tmp_path):
+        """npz cannot store bf16 (numpy loads it back as void); bundles
+        store floats f32 and re-cast from meta's params_dtype — the loaded
+        program must accept the bf16 variables and match the live one."""
+        import cv2
+        import jax
+        import jax.numpy as jnp
+
+        from test_eval_apps import SMALL_CFG
+
+        from tpupose.detectors import PoseDetector
+        from tpupose.serving import _geometry
+
+        det = PoseDetector("posenet", cfg=SMALL_CFG,
+                           compute_dtype=jnp.bfloat16)
+        img = _frame(np.random.RandomState(4), hw=(48, 56))
+        path = str(tmp_path / "bundle")
+        save_bundle(det, path, [img.shape[:2]], platforms=("cpu",))
+        srv = ServingPoseDetector(path)
+        leaf = jax.tree_util.tree_leaves(srv.variables)[0]
+        assert leaf.dtype == jnp.bfloat16
+
+        in_hw, map_hw = _geometry(det.cfg, *img.shape[:2])
+        resized = jnp.asarray(cv2.resize(img, (in_hw[1], in_hw[0])))
+        want = jax.device_get(
+            det._fast_fn(in_hw, map_hw)(det.variables, resized))
+        exported, _, _ = srv._by_size[img.shape[:2]]
+        got = jax.device_get(exported.call(srv.variables, resized))
+        for g, w in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
     def test_precise_host_pyramid_rejected(self, tmp_path):
         import dataclasses
 

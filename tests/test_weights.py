@@ -264,3 +264,32 @@ class TestLoadReportWarnings:
         np.savez(trunc, **flat)
         with pytest.warns(RuntimeWarning, match="RANDOM init"):
             FaceDetector("facenet", weights_file=trunc)
+
+
+class TestCommitDtype:
+    def test_commit_casts_float_leaves_only(self):
+        from tpupose.weights.chainer_npz import commit_variables
+
+        tree = {"params": {"w": np.ones((2, 2), np.float32),
+                           "step": np.asarray(3, np.int32)}}
+        out = commit_variables(tree, dtype=jnp.bfloat16)
+        assert out["params"]["w"].dtype == jnp.bfloat16
+        assert out["params"]["step"].dtype == jnp.int32
+        # default: no cast
+        out32 = commit_variables(tree)
+        assert out32["params"]["w"].dtype == jnp.float32
+
+    def test_bf16_detector_runs_and_stores_bf16_at_rest(self):
+        """compute_dtype=bf16 detectors commit params at rest in bf16
+        (numerically free — Flax casts per dispatch anyway; halves the
+        tree's HBM footprint) and the pipeline still runs."""
+        from tpupose.config import InferenceConfig
+        from tpupose.detectors import PoseDetector
+
+        cfg = InferenceConfig(img_size=32, heatmap_size=32)
+        det = PoseDetector("posenet", cfg=cfg,
+                           compute_dtype=jnp.bfloat16)
+        leaf = jax.tree_util.tree_leaves(det.variables)[0]
+        assert leaf.dtype == jnp.bfloat16
+        poses, scores = det(np.zeros((48, 64, 3), np.uint8))
+        assert poses.shape[1:] == (18, 3)

@@ -61,8 +61,12 @@ class CropKeypointDetector:
             dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
             self.variables = self.model.init(jax.random.PRNGKey(0), dummy)
         # Host (numpy) trees — the npz path and user-supplied params —
-        # would be re-uploaded on EVERY dispatch; commit once.
-        self.variables = commit_variables(self.variables)
+        # would be re-uploaded on EVERY dispatch; commit once (pre-cast to
+        # a non-f32 compute dtype: numerically free, halves the tree's
+        # HBM footprint and one-time upload).
+        self.variables = commit_variables(
+            self.variables,
+            dtype=None if compute_dtype == jnp.float32 else compute_dtype)
         self._fns: Dict[tuple, object] = {}
 
     # ------------------------------------------------------------------

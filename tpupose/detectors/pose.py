@@ -127,8 +127,13 @@ class PoseDetector:
             self.variables = self.model.init(jax.random.PRNGKey(0), dummy)
         # Host (numpy) trees — the npz path and user-supplied params —
         # would be re-uploaded on EVERY dispatch; commit once (replicated
-        # over the mesh when one is attached).
-        self.variables = commit_variables(self.variables, mesh=mesh)
+        # over the mesh when one is attached).  A non-f32 compute dtype is
+        # also applied at rest: Flax casts params to it per dispatch
+        # anyway, so pre-casting is numerically free and halves the tree's
+        # HBM footprint and one-time upload.
+        self.variables = commit_variables(
+            self.variables, mesh=mesh,
+            dtype=None if compute_dtype == jnp.float32 else compute_dtype)
         # jit caches keyed by static geometry.
         self._fast_fns: Dict[tuple, object] = {}
         self._scale_fns: Dict[tuple, object] = {}

@@ -90,8 +90,16 @@ def save_bundle(det: PoseDetector, path: str,
             "serving semantics")
     os.makedirs(path, exist_ok=True)
     host_vars = jax.device_get(det.variables)
+    flat = flatten_dict(host_vars["params"], sep="/")
+    # npz cannot round-trip bf16 (numpy loads it back as void); floats are
+    # stored f32 (lossless upcast) and re-cast to params_dtype at load.
+    float_dtypes = {str(v.dtype) for v in flat.values()
+                    if jnp.issubdtype(v.dtype, jnp.floating)}
+    params_dtype = float_dtypes.pop() if len(float_dtypes) == 1 else "float32"
     np.savez(os.path.join(path, _PARAMS),
-             **flatten_dict(host_vars["params"], sep="/"))
+             **{k: v.astype(np.float32)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v
+                for k, v in flat.items()})
     var_specs = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host_vars)
 
@@ -141,6 +149,7 @@ def save_bundle(det: PoseDetector, path: str,
     meta = {
         "arch": det.arch,
         "mode": "precise" if det.precise else "fast",
+        "params_dtype": params_dtype,
         "cfg": dataclasses.asdict(det.cfg),
         "platforms": list(platforms),
         "geometries": geoms,
@@ -176,7 +185,10 @@ class ServingPoseDetector:
         self.cfg = _cfg_from_meta(meta["cfg"])
         with np.load(os.path.join(path, _PARAMS)) as z:
             params = unflatten_dict({k: z[k] for k in z.files}, sep="/")
-        self.variables = commit_variables({"params": params})
+        pd = meta.get("params_dtype", "float32")
+        self.variables = commit_variables(
+            {"params": params},
+            dtype=None if pd == "float32" else getattr(jnp, pd))
 
         def load(name):
             with open(os.path.join(path, name), "rb") as f:

@@ -147,7 +147,7 @@ def warn_on_load_report(report, path: str, arch: str = "posenet") -> None:
             RuntimeWarning, stacklevel=3)
 
 
-def commit_variables(variables, mesh=None):
+def commit_variables(variables, mesh=None, dtype=None):
     """Place a (possibly host/numpy) variable tree on device ONCE.
     Detectors must hold committed device arrays: host arrays passed to
     ``jit`` are re-transferred on EVERY call, and over a remote PJRT
@@ -155,9 +155,23 @@ def commit_variables(variables, mesh=None):
     (measured: 27 s/frame streaming vs 66 ms with committed params).
 
     With a ``mesh``, commits replicated over it (a tree committed to one
-    device would conflict with the meshed programs' device assignment)."""
-    import jax
+    device would conflict with the meshed programs' device assignment).
 
+    With ``dtype``, floating-point leaves are stored at rest in that dtype.
+    For a detector built with the same ``compute_dtype`` this has zero
+    numeric change — Flax casts the params to the compute dtype at every
+    dispatch anyway — and halves the tree's HBM footprint and (over the
+    remote tunnel) its one-time upload.  Trace-measured: per-program device
+    times are UNCHANGED (<0.05 ms), so this is a memory/upload win, not a
+    speed win."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is not None:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            variables)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
