@@ -163,10 +163,18 @@ def test_precise_pipeline_matches_oracle_on_person():
 def test_precise_pipeline_full_size_matches_oracle(name):
     """Reference-config (img_size=368) 4-scale precise pipeline end to end
     on every reference image (VERDICT r2 weak #7: the full-size precise
-    path was exercised only at reduced geometry)."""
+    path was exercised only at reduced geometry).
+
+    max_peaks_per_joint is raised: the calibrated-random net emits up to
+    ~52 peaks for one joint at full postprocess resolution on dinner.png,
+    and the oracle refuses to compare past the static capacity (real
+    weights are far sparser; capacity is a config knob, ``config.py``)."""
+    from dataclasses import replace
+
     from tpupose.detectors import PoseDetector
 
-    det = PoseDetector("posenet", precise=True, cfg=HARNESS_CFG)
+    det = PoseDetector("posenet", precise=True,
+                       cfg=replace(HARNESS_CFG, max_peaks_per_joint=64))
     img = _load(name)
     _calibrate(det, img)
     _run_parity(det, img)
