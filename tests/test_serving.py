@@ -148,3 +148,93 @@ class TestServingBundle:
         srv = ServingPoseDetector(out)
         poses, scores = srv(np.zeros((48, 56, 3), np.uint8))
         assert poses.shape[1:] == (18, 3)
+
+
+class TestCropBundles:
+    """FaceNet/HandNet AOT bundles: batched forward + per-geometry tails."""
+
+    def _det(self, arch="facenet"):
+        from tpupose.config import FaceConfig, HandConfig
+        from tpupose.detectors.crop_keypoints import CropKeypointDetector
+
+        cfg = (FaceConfig(img_size=64) if arch == "facenet"
+               else HandConfig(img_size=64))
+        return CropKeypointDetector(arch, cfg=cfg, tail_stride=8)
+
+    def test_crop_bundle_matches_live_detector(self, tmp_path):
+        from tpupose.serving import ServingCropDetector, save_crop_bundle
+
+        det = self._det("facenet")
+        rng = np.random.RandomState(0)
+        crops = [rng.randint(0, 255, (56, 48, 3), dtype=np.uint8)
+                 for _ in range(3)]
+        want = det.detect_crops(crops)
+
+        path = str(tmp_path / "bundle")
+        save_crop_bundle(det, path, [(56, 48)], batch_sizes=(1, 2),
+                         flips=(False,), platforms=("cpu",))
+        srv = ServingCropDetector(path)
+        got = srv.detect_crops(crops)  # 3 crops -> chunks of 2 + padded 1
+        assert got == want
+        assert srv.arch == "facenet"
+        assert srv.cfg == det.cfg
+        assert srv.crop_sizes == [(56, 48)]
+
+    def test_hand_bundle_flip_path(self, tmp_path):
+        from tpupose.serving import ServingCropDetector, save_crop_bundle
+
+        det = self._det("handnet")
+        rng = np.random.RandomState(1)
+        crop = rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+        want = det.detect_crops([crop, crop], [False, True])
+
+        path = str(tmp_path / "bundle")
+        save_crop_bundle(det, path, [(40, 40)], batch_sizes=(2,),
+                         platforms=("cpu",))
+        srv = ServingCropDetector(path)
+        got = srv.detect_crops([crop, crop], [False, True])
+        assert got == want
+
+    def test_unknown_crop_size_raises(self, tmp_path):
+        from tpupose.serving import ServingCropDetector, save_crop_bundle
+
+        det = self._det()
+        path = str(tmp_path / "bundle")
+        save_crop_bundle(det, path, [(40, 40)], batch_sizes=(1,),
+                         flips=(False,), platforms=("cpu",))
+        srv = ServingCropDetector(path)
+        with pytest.raises(ValueError, match="no tail exported"):
+            srv.detect_crops([np.zeros((64, 64, 3), np.uint8)])
+
+    def test_wrong_loader_class_raises(self, tmp_path):
+        from tpupose.serving import ServingCropDetector, save_crop_bundle
+
+        det = self._det()
+        path = str(tmp_path / "bundle")
+        save_crop_bundle(det, path, [(40, 40)], batch_sizes=(1,),
+                         flips=(False,), platforms=("cpu",))
+        with pytest.raises(ValueError, match="crop-net bundle"):
+            ServingPoseDetector(path)
+
+        pose = _stub_pose_detector()
+        pose_path = str(tmp_path / "pose_bundle")
+        save_bundle(pose, pose_path, [(92, 124)], platforms=("cpu",))
+        with pytest.raises(ValueError, match="not a crop-net bundle"):
+            ServingCropDetector(pose_path)
+
+    def test_export_cli_crop(self, tmp_path):
+        import jax
+
+        from tpupose.apps.export_serving import main
+        from tpupose.serving import ServingCropDetector
+        from tpupose.weights.chainer_npz import save_npz_params
+
+        det = self._det("facenet")
+        npz = str(tmp_path / "w.npz")
+        save_npz_params(npz, jax.device_get(det.variables)["params"])
+        out = str(tmp_path / "bundle")
+        main([npz, out, "--arch", "facenet", "--sizes", "40x40",
+              "--batches", "1", "--platforms", "cpu", "--img-size", "64"])
+        srv = ServingCropDetector(out)
+        kps = srv.detect_crop(np.zeros((40, 40, 3), np.uint8))
+        assert len(kps) == 70

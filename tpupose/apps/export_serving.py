@@ -1,13 +1,18 @@
-"""Export an AOT serving bundle for the pose detector fast path.
+"""Export an AOT serving bundle (pose fast/precise path, or a crop net).
 
 Usage::
 
+    # pose net: one program per original image size
     python -m tpupose.apps.export_serving coco_posenet.npz bundle/ \
-        --sizes 480x640,584x584 [--arch posenet] [--platforms cpu,tpu]
+        --sizes 480x640,584x584 [--precise] [--platforms cpu,tpu]
 
-The bundle (StableHLO programs + weights + config) is then served by
-``tpupose.serving.ServingPoseDetector`` with no model code on the load
-path — see ``tpupose/serving.py``.
+    # face/hand crop nets: batched forward + per-crop-geometry tails
+    python -m tpupose.apps.export_serving facenet.npz face_bundle/ \
+        --arch facenet --sizes 368x368,184x184 --batches 1,4,8
+
+Bundles (StableHLO programs + weights + config) are served by
+``tpupose.serving.ServingPoseDetector`` / ``ServingCropDetector`` with no
+model code on the load path — see ``tpupose/serving.py``.
 """
 
 from __future__ import annotations
@@ -27,42 +32,66 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("weights", help="npz weights (Chainer-npz interchange)")
     p.add_argument("out", help="bundle directory to create")
-    p.add_argument("--arch", default="posenet")
+    p.add_argument("--arch", default="posenet",
+                   choices=["posenet", "facenet", "handnet"])
     p.add_argument("--sizes", required=True,
-                   help="comma-separated HxW original image sizes to "
-                        "export programs for, e.g. 480x640,584x584")
+                   help="comma-separated HxW sizes to export programs "
+                        "for: original image sizes (posenet), crop sizes "
+                        "(facenet/handnet)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="lowering targets baked into the bundle")
     p.add_argument("--img-size", type=int, default=None,
-                   help="network input target (InferenceConfig.img_size)")
+                   help="network input target (config img_size)")
     p.add_argument("--heatmap-size", type=int, default=None,
                    help="postprocess map target "
-                        "(InferenceConfig.heatmap_size)")
+                        "(InferenceConfig.heatmap_size; posenet only)")
     p.add_argument("--precise", action="store_true",
-                   help="export the multi-scale precise pipeline instead "
-                        "of the fast path")
+                   help="posenet: export the multi-scale precise pipeline "
+                        "instead of the fast path")
+    p.add_argument("--batches", default="1,4,8",
+                   help="crop nets: batched-forward sizes to export")
+    p.add_argument("--tail-stride", type=int, default=8,
+                   help="crop nets: tail-geometry rounding (see "
+                        "CropKeypointDetector)")
     args = p.parse_args(argv)
 
     import dataclasses
 
-    from tpupose.config import INFERENCE
-    from tpupose.detectors import PoseDetector
-    from tpupose.serving import save_bundle
-
-    cfg = INFERENCE
-    overrides = {k: v for k, v in (("img_size", args.img_size),
-                                   ("heatmap_size", args.heatmap_size))
-                 if v is not None}
-    if overrides:
-        cfg = dataclasses.replace(cfg, **overrides)
-    det = PoseDetector(args.arch, weights_file=args.weights, cfg=cfg,
-                       precise=args.precise)
+    platforms = tuple(args.platforms.split(","))
     sizes = parse_sizes(args.sizes)
-    save_bundle(det, args.out, sizes,
-                platforms=tuple(args.platforms.split(",")))
+
+    if args.arch == "posenet":
+        from tpupose.config import INFERENCE
+        from tpupose.detectors import PoseDetector
+        from tpupose.serving import save_bundle
+
+        cfg = INFERENCE
+        overrides = {k: v for k, v in (("img_size", args.img_size),
+                                       ("heatmap_size", args.heatmap_size))
+                     if v is not None}
+        if overrides:
+            cfg = dataclasses.replace(cfg, **overrides)
+        det = PoseDetector(args.arch, weights_file=args.weights, cfg=cfg,
+                           precise=args.precise)
+        save_bundle(det, args.out, sizes, platforms=platforms)
+        mode = "precise" if args.precise else "fast"
+    else:
+        from tpupose.config import FACE, HAND
+        from tpupose.detectors.crop_keypoints import CropKeypointDetector
+        from tpupose.serving import save_crop_bundle
+
+        cfg = FACE if args.arch == "facenet" else HAND
+        if args.img_size is not None:
+            cfg = dataclasses.replace(cfg, img_size=args.img_size)
+        det = CropKeypointDetector(args.arch, weights_file=args.weights,
+                                   cfg=cfg, tail_stride=args.tail_stride)
+        batches = tuple(int(b) for b in args.batches.split(","))
+        flips = (False, True) if args.arch == "handnet" else (False,)
+        save_crop_bundle(det, args.out, sizes, batch_sizes=batches,
+                         flips=flips, platforms=platforms)
+        mode = "crop"
     print(f"wrote bundle: {args.out} ({len(sizes)} geometries, "
-          f"{'precise' if args.precise else 'fast'} mode, "
-          f"platforms {args.platforms})")
+          f"{mode} mode, platforms {args.platforms})")
 
 
 if __name__ == "__main__":

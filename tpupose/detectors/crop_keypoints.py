@@ -45,6 +45,7 @@ class CropKeypointDetector:
         keypoint coordinates are rescaled back to the true crop size
         (<= ~1 px shift).  1 = exact reference semantics (argmax at crop
         resolution, ``face_detector.py:38,54-66``)."""
+        self.arch = arch
         self.cfg = cfg
         self.tail_stride = tail_stride
         self.model = ARCHS[arch](dtype=compute_dtype)

@@ -20,7 +20,8 @@ Layout of a bundle directory::
     meta.json                    arch, mode, InferenceConfig, geometry table
     params.npz                   flax param tree, '/'-joined flat keys
     fast_<H>x<W>.jexp            fast-path program per image size, or
-    precise_<H>x<W>_scale<k>.jexp + precise_<H>x<W>_avg.jexp  (precise mode)
+    precise_<H>x<W>_scale<k>.jexp + precise_<H>x<W>_avg.jexp  (precise), or
+    crop_forward_b<B>.jexp + crop_tail_<H>x<W>_f<0|1>.jexp    (crop nets)
 
 Note on Pallas: the fast-path peak finder auto-selects a Pallas kernel only
 on a TPU backend above ~256² map area (`ops.peaks.find_peaks`); a
@@ -76,8 +77,6 @@ def save_bundle(det: PoseDetector, path: str,
     export the device-pyramid per-scale programs plus the cross-scale
     average+postprocess program (one original-image upload per frame at
     serve time, like the live detector)."""
-    from flax.traverse_util import flatten_dict
-
     if det.precise and not det.cfg.device_pyramid:
         raise ValueError(
             "precise serving bundles require cfg.device_pyramid=True (the "
@@ -90,16 +89,7 @@ def save_bundle(det: PoseDetector, path: str,
             "serving semantics")
     os.makedirs(path, exist_ok=True)
     host_vars = jax.device_get(det.variables)
-    flat = flatten_dict(host_vars["params"], sep="/")
-    # npz cannot round-trip bf16 (numpy loads it back as void); floats are
-    # stored f32 (lossless upcast) and re-cast to params_dtype at load.
-    float_dtypes = {str(v.dtype) for v in flat.values()
-                    if jnp.issubdtype(v.dtype, jnp.floating)}
-    params_dtype = float_dtypes.pop() if len(float_dtypes) == 1 else "float32"
-    np.savez(os.path.join(path, _PARAMS),
-             **{k: v.astype(np.float32)
-                if jnp.issubdtype(v.dtype, jnp.floating) else v
-                for k, v in flat.items()})
+    params_dtype = _save_params(path, host_vars)
     var_specs = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host_vars)
 
@@ -158,13 +148,48 @@ def save_bundle(det: PoseDetector, path: str,
         json.dump(meta, f, indent=1)
 
 
-def _cfg_from_meta(d: dict) -> InferenceConfig:
-    fields = {f.name: f for f in dataclasses.fields(InferenceConfig)}
+def _cfg_from_meta(d: dict, cls=InferenceConfig):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
     kw = {}
     for k, v in d.items():
         if k in fields:
             kw[k] = tuple(v) if isinstance(v, list) else v
-    return InferenceConfig(**kw)
+    return cls(**kw)
+
+
+def _save_params(path: str, host_vars) -> str:
+    """Write params.npz (floats stored f32 — npz cannot round-trip bf16);
+    returns the recorded params dtype name."""
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(host_vars["params"], sep="/")
+    float_dtypes = {str(v.dtype) for v in flat.values()
+                    if jnp.issubdtype(v.dtype, jnp.floating)}
+    params_dtype = float_dtypes.pop() if len(float_dtypes) == 1 else "float32"
+    np.savez(os.path.join(path, _PARAMS),
+             **{k: v.astype(np.float32)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v
+                for k, v in flat.items()})
+    return params_dtype
+
+
+def _load_params_committed(path: str, meta: dict):
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(os.path.join(path, _PARAMS)) as z:
+        params = unflatten_dict({k: z[k] for k in z.files}, sep="/")
+    pd = meta.get("params_dtype", "float32")
+    return commit_variables(
+        {"params": params},
+        dtype=None if pd == "float32" else getattr(jnp, pd))
+
+
+def _program_loader(path: str):
+    def load(name):
+        with open(os.path.join(path, name), "rb") as f:
+            return jax.export.deserialize(bytearray(f.read()))
+
+    return load
 
 
 class ServingPoseDetector:
@@ -176,24 +201,17 @@ class ServingPoseDetector:
     servable."""
 
     def __init__(self, path: str):
-        from flax.traverse_util import unflatten_dict
-
         with open(os.path.join(path, _META)) as f:
             meta = json.load(f)
+        if meta.get("mode") == "crop":
+            raise ValueError(
+                "this is a crop-net bundle; load it with "
+                "ServingCropDetector")
         self.arch = meta["arch"]
         self.mode = meta.get("mode", "fast")
         self.cfg = _cfg_from_meta(meta["cfg"])
-        with np.load(os.path.join(path, _PARAMS)) as z:
-            params = unflatten_dict({k: z[k] for k in z.files}, sep="/")
-        pd = meta.get("params_dtype", "float32")
-        self.variables = commit_variables(
-            {"params": params},
-            dtype=None if pd == "float32" else getattr(jnp, pd))
-
-        def load(name):
-            with open(os.path.join(path, name), "rb") as f:
-                return jax.export.deserialize(bytearray(f.read()))
-
+        self.variables = _load_params_committed(path, meta)
+        load = _program_loader(path)
         self._by_size: Dict[Tuple[int, int], tuple] = {}
         for key, g in meta["geometries"].items():
             h, w = (int(t) for t in key.split("x"))
@@ -236,3 +254,152 @@ class ServingPoseDetector:
             result, orig_w / map_hw[1], orig_h / map_hw[0],
             warned=self._warned_saturation)
         return poses, scores
+
+
+# ---------------------------------------------------------------------------
+# Crop-net bundles (FaceNet / HandNet)
+# ---------------------------------------------------------------------------
+
+
+_CROP_CFGS = {"facenet": "FaceConfig", "handnet": "HandConfig"}
+
+
+def save_crop_bundle(det, path: str, crop_sizes: List[Tuple[int, int]],
+                     batch_sizes: Tuple[int, ...] = (1, 4, 8),
+                     flips: Tuple[bool, ...] = (False, True),
+                     platforms: Tuple[str, ...] = ("cpu", "tpu")) -> None:
+    """AOT-export a ``CropKeypointDetector``'s programs: the batched
+    forward per batch size, plus the resize+argmax tail per (crop size,
+    flip).  Completes the demo cascade's serving story — the pose net via
+    ``save_bundle``, the crop nets via this (ref ``demo.py:31-58`` runs
+    1+3N serial Chainer forwards instead)."""
+    os.makedirs(path, exist_ok=True)
+    host_vars = jax.device_get(det.variables)
+    params_dtype = _save_params(path, host_vars)
+    var_specs = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host_vars)
+
+    def write(exported, name: str) -> str:
+        with open(os.path.join(path, name), "wb") as f:
+            f.write(exported.serialize())
+        return name
+
+    s = det.cfg.img_size
+    net_hw = (s // 8, s // 8)
+    num_ch = det.cfg.num_keypoints + 1
+    forwards = {}
+    for b in batch_sizes:
+        img_spec = jax.ShapeDtypeStruct((b, s, s, 3), jnp.uint8)
+        exported = jax.export.export(
+            det._batch_forward_fn(b), platforms=list(platforms))(
+            var_specs, img_spec)
+        forwards[str(b)] = write(exported, f"crop_forward_b{b}.jexp")
+
+    hm_spec = jax.ShapeDtypeStruct((net_hw[0], net_hw[1], num_ch),
+                                   jnp.float32)
+    tails = {}
+    for crop_hw in crop_sizes:
+        target_hw, scale = det._tail_target(tuple(crop_hw))
+        for flip in flips:
+            key = f"{crop_hw[0]}x{crop_hw[1]}:{int(flip)}"
+            exported = jax.export.export(
+                det._tail_fn(target_hw, flip),
+                platforms=list(platforms))(hm_spec)
+            tails[key] = {
+                "program": write(
+                    exported,
+                    f"crop_tail_{crop_hw[0]}x{crop_hw[1]}_f{int(flip)}"
+                    ".jexp"),
+                "scale": list(scale),
+            }
+
+    meta = {
+        "arch": det.arch,
+        "mode": "crop",
+        "params_dtype": params_dtype,
+        "cfg": dataclasses.asdict(det.cfg),
+        "tail_stride": det.tail_stride,
+        "platforms": list(platforms),
+        "forwards": forwards,
+        "tails": tails,
+    }
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+class ServingCropDetector:
+    """Runs a saved crop-net bundle (FaceNet/HandNet): batched forward +
+    per-geometry tails, no model code on the serving path.
+
+    ``detect_crops(crops, flips)`` mirrors ``CropKeypointDetector``; only
+    the exported crop sizes / batch sizes are servable (larger crop lists
+    are chunked over the largest exported batch, padding the last chunk)."""
+
+    def __init__(self, path: str):
+        import tpupose.config as config_mod
+
+        with open(os.path.join(path, _META)) as f:
+            meta = json.load(f)
+        if meta.get("mode") != "crop":
+            raise ValueError(
+                "not a crop-net bundle; load it with ServingPoseDetector")
+        self.arch = meta["arch"]
+        cfg_cls = getattr(config_mod, _CROP_CFGS[self.arch])
+        self.cfg = _cfg_from_meta(meta["cfg"], cfg_cls)
+        self.tail_stride = meta.get("tail_stride", 1)
+        self.variables = _load_params_committed(path, meta)
+        load = _program_loader(path)
+        self._forwards = {int(b): load(n)
+                          for b, n in meta["forwards"].items()}
+        self._tails = {}
+        for key, t in meta["tails"].items():
+            hw, flip = key.split(":")
+            h, w = (int(v) for v in hw.split("x"))
+            self._tails[(h, w, bool(int(flip)))] = (
+                load(t["program"]), tuple(t["scale"]))
+
+    @property
+    def crop_sizes(self):
+        return sorted({(h, w) for (h, w, _) in self._tails})
+
+    def detect_crop(self, crop: np.ndarray, flip: bool = False):
+        return self.detect_crops([crop], [flip])[0]
+
+    def detect_crops(self, crops, flips=None):
+        import cv2
+
+        from tpupose.detectors.crop_keypoints import CropKeypointDetector
+
+        if not crops:
+            return []
+        flips = flips or [False] * len(crops)
+        tails = []
+        for crop, flip in zip(crops, flips):
+            key = (crop.shape[0], crop.shape[1], bool(flip))
+            if key not in self._tails:
+                raise ValueError(
+                    f"no tail exported for crop size {key[:2]} "
+                    f"flip={key[2]}; bundle serves {self.crop_sizes}")
+            tails.append(self._tails[key])
+
+        s = self.cfg.img_size
+        prepped = np.stack([
+            cv2.resize(cv2.flip(c, 1) if f else c, (s, s))
+            for c, f in zip(crops, flips)])
+        # chunk over the largest exported batch, padding the tail chunk
+        # (per-sample conv outputs are independent, so padding is exact)
+        cap = max(self._forwards)
+        heatmaps = []
+        for i in range(0, len(prepped), cap):
+            chunk = prepped[i:i + cap]
+            b = next(b for b in sorted(self._forwards) if b >= len(chunk))
+            if len(chunk) < b:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], b - len(chunk), axis=0)])
+            out = self._forwards[b].call(self.variables, jnp.asarray(chunk))
+            heatmaps.extend(out[:min(cap, len(prepped) - i)])
+        results = []
+        for hm, (tail, scale) in zip(heatmaps, tails):
+            results.append(CropKeypointDetector._to_keypoints(
+                tail.call(hm), scale=scale))
+        return results
