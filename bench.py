@@ -272,9 +272,10 @@ def device_breakdown(det, img, n: int = 4) -> dict:
     # two smallest scales as ONE batch-2 dispatch at the larger canvas —
     # measured against their separate dispatches above ------------------
     geoms = det._pyramid_geometries(orig_h, orig_w)
-    fused_pair = det._fused_small_pair(geoms) if len(geoms) >= 2 else None
-    if fused_pair is None and len(geoms) >= 2:
-        fused_pair = (0, 1)  # measure the knob even when it is off
+    # force=True: measure the knob even when it is off — but still through
+    # the real selection (smallest pair + canvas-containment check);
+    # forcing (0, 1) would pad negatively on non-ascending scale configs.
+    fused_pair = det._fused_small_pair(geoms, force=True)
     if fused_pair is not None:
         i, j = fused_pair
         geom_small = (geoms[i][1], geoms[i][2])
@@ -385,8 +386,14 @@ def cascade_breakdown(n: int = 6) -> dict:
     rng = np.random.RandomState(3)
     face_kw = {"cfg": CASCADE_FACE_CFG} if CASCADE_FACE_CFG else {}
     hand_kw = {"cfg": CASCADE_HAND_CFG} if CASCADE_HAND_CFG else {}
-    for name, det in (("facenet", FaceDetector("facenet", **face_kw)),
-                      ("handnet", HandDetector("handnet", **hand_kw))):
+    # ONE detector pair for both the batch-timing rows and the e2e
+    # cascade: a second construction would re-init + re-upload each
+    # ~50-conv tree over the tunnel for nothing (tail_stride only shapes
+    # the tail programs, which the timing rows bypass — they call
+    # _tail_traced with an explicit (size, size) target).
+    face = FaceDetector("facenet", tail_stride=16, **face_kw)
+    hand = HandDetector("handnet", tail_stride=16, **hand_kw)
+    for name, det in (("facenet", face), ("handnet", hand)):
         size = det.cfg.img_size
         rows = []
         for b in CASCADE_BATCHES:
@@ -407,9 +414,6 @@ def cascade_breakdown(n: int = 6) -> dict:
 
     pose = PoseDetector("posenet")
     calibrate_output_convs(pose, img)
-    # bounded tail programs for the crowd's many unique crop sizes
-    face = FaceDetector("facenet", tail_stride=16, **face_kw)
-    hand = HandDetector("handnet", tail_stride=16, **hand_kw)
     _, results = run_cascade(img, pose, face, hand)  # compile warmup
     best = None
     for _ in range(3):
@@ -638,8 +642,6 @@ def main(argv=None) -> None:
                           "programs": times}, indent=1))
         return
 
-    # best-of-3 windows: the tunnel's bandwidth swings 3-26 MB/s between
-    # measurement windows (observed), and the driver samples once.
     # 5 windows: the tunnel's bandwidth swings 3-26 MB/s BETWEEN windows
     # and the driver samples the headline once — more windows = better
     # tail sampling of the good phases at ~1 s each.

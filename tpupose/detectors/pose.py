@@ -60,12 +60,14 @@ def pad_image_np(img: np.ndarray, stride: int,
     return out, (pad_b, pad_r)
 
 
-def emit_result(result, scale_x: float, scale_y: float, warned: bool = True):
+def emit_result(result, scale_x: float, scale_y: float,
+                warned: bool = False):
     """Rescale a device ``PoseResult`` to original pixels and compact to
     dynamic (N, 18, 3) arrays (ref ``pose_detector.py:513-517``).
 
-    Returns ``(poses, scores, warned)``; pass the previous ``warned`` flag to
-    get at most one saturation warning per consumer.  One ``jax.device_get``
+    Returns ``(poses, scores, warned)``; thread the returned ``warned``
+    flag back in to get at most one saturation warning per consumer (the
+    fail-safe default warns on every saturated call).  One ``jax.device_get``
     for the whole result tuple — per-field ``np.asarray`` would issue four
     sequential round trips over the (high-latency) device link per frame."""
     result = jax.device_get(result)
@@ -502,13 +504,15 @@ class PoseDetector:
             self._scale_fns[key] = self._jit_batched(fn)
         return self._scale_fns[key]
 
-    def _fused_small_pair(self, geoms):
+    def _fused_small_pair(self, geoms, force: bool = False):
         """Indices (small, large) of the two smallest pyramid scales when
         ``cfg.fuse_small_scales`` applies to this geometry, else None.
         The ONE place the fusing decision lives, shared by the
-        single-frame and batched precise paths."""
-        if not (self.cfg.fuse_small_scales and self.cfg.device_pyramid
-                and len(geoms) >= 2):
+        single-frame and batched precise paths (``force`` lets the bench
+        measure the knob while it is off, still under the containment
+        check)."""
+        if not ((force or self.cfg.fuse_small_scales)
+                and self.cfg.device_pyramid and len(geoms) >= 2):
             return None
         order = sorted(range(len(geoms)),
                        key=lambda k: geoms[k][2][0] * geoms[k][2][1])

@@ -53,6 +53,9 @@ def conv_gaussian_kernel_1d(sigma: float, ksize: int) -> np.ndarray:
     equals the first H x W entries of the reference's — the sane reading
     of a config the reference only nominally supports.
     """
+    if ksize < 1:
+        raise ValueError(f"conv NMS smoothing needs ksize >= 1, got "
+                         f"{ksize} (InferenceConfig.ksize)")
     center = ksize // 2
     d = np.arange(ksize, dtype=np.float64) - center
     phi = np.exp(-0.5 * (d / sigma) ** 2) / np.sqrt(2.0 * np.pi * sigma ** 2)

@@ -165,7 +165,14 @@ def _save_params(path: str, host_vars) -> str:
     flat = flatten_dict(host_vars["params"], sep="/")
     float_dtypes = {str(v.dtype) for v in flat.values()
                     if jnp.issubdtype(v.dtype, jnp.floating)}
-    params_dtype = float_dtypes.pop() if len(float_dtypes) == 1 else "float32"
+    if len(float_dtypes) > 1:
+        # The exported programs' input specs record per-leaf dtypes; a
+        # single recorded params_dtype could not reproduce a mixed tree at
+        # load time and the bundle would be unservable.
+        raise ValueError(
+            f"param tree mixes float dtypes {sorted(float_dtypes)}; commit "
+            "the detector's params in one dtype before exporting")
+    params_dtype = float_dtypes.pop() if float_dtypes else "float32"
     np.savez(os.path.join(path, _PARAMS),
              **{k: v.astype(np.float32)
                 if jnp.issubdtype(v.dtype, jnp.floating) else v

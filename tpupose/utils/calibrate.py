@@ -34,7 +34,9 @@ def calibrate_output_convs(det, img, n_target: int = 4) -> bool:
 
     from scipy.ndimage import gaussian_filter, maximum_filter
 
-    p = jax.tree_util.tree_map(np.asarray, det.variables)
+    # ONE device_get for the whole tree: per-leaf np.asarray would issue
+    # ~200 sequential round trips over the (high-latency) remote link.
+    p = jax.device_get(det.variables)
     try:
         l2 = p["params"]["stage6_L2"]["Mconv7_stage6_L2"]["conv"]
         l1 = p["params"]["stage6_L1"]["Mconv7_stage6_L1"]["conv"]
@@ -55,10 +57,14 @@ def calibrate_output_convs(det, img, n_target: int = 4) -> bool:
     pg = (1.0 / np.maximum(np.abs(paf0).max(axis=(1, 2)), 1e-9)
           ).astype(np.float32)
 
-    l2["kernel"] = l2["kernel"] * hg[None, None, None, :]
-    l2["bias"] = l2["bias"] * hg
-    l1["kernel"] = l1["kernel"] * pg[None, None, None, :]
-    l1["bias"] = l1["bias"] * pg
+    # Keep each leaf's dtype: the numpy multiply would promote bf16
+    # leaves to f32, leaving a mixed-dtype tree that silently retraces
+    # every already-compiled program (and breaks serving-bundle export).
+    for layer, g in ((l2, hg), (l1, pg)):
+        layer["kernel"] = (layer["kernel"]
+                           * g[None, None, None, :]).astype(
+            layer["kernel"].dtype)
+        layer["bias"] = (layer["bias"] * g).astype(layer["bias"].dtype)
     # Commit back to device: leaving the tree as host numpy arrays makes
     # every later dispatch re-upload ~200 MB of params over the tunnel
     # (measured 27 s/frame streaming vs 66 ms committed).
