@@ -254,3 +254,12 @@ def test_find_peaks_even_ksize_runs():
                      CFG.heatmap_peak_thresh, CFG.max_peaks_per_joint,
                      mode="conv", ksize=16)
     assert int(np.asarray(got.valid).sum()) > 0
+
+
+def test_gaussian_conv_kernel_rejects_ksize_below_one():
+    from tpupose.ops.gaussian import conv_gaussian_kernel_1d
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ksize >= 1"):
+        conv_gaussian_kernel_1d(2.5, 0)

@@ -120,6 +120,27 @@ class TestServingBundle:
                         jax.tree_util.tree_leaves(want)):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
+    def test_mixed_dtype_params_rejected(self, tmp_path):
+        """A param tree mixing float dtypes cannot round-trip through the
+        bundle's single recorded params_dtype — export must refuse rather
+        than produce an unservable bundle."""
+        import jax
+        import jax.numpy as jnp
+
+        from test_eval_apps import SMALL_CFG
+
+        from tpupose.detectors import PoseDetector
+
+        det = PoseDetector("posenet", cfg=SMALL_CFG,
+                           compute_dtype=jnp.bfloat16)
+        v = jax.device_get(det.variables)
+        leaf = v["params"]["stage1_L1"]["conv5_1_CPM_L1"]["conv"]
+        leaf["kernel"] = np.asarray(leaf["kernel"], np.float32)
+        det.variables = v
+        with pytest.raises(ValueError, match="mixes float dtypes"):
+            save_bundle(det, str(tmp_path / "b"), [(48, 56)],
+                        platforms=("cpu",))
+
     def test_precise_host_pyramid_rejected(self, tmp_path):
         import dataclasses
 

@@ -129,3 +129,28 @@ class TestGenMasksVis:
         assert n == 1
         panel = cv2.imread(os.path.join(vis, "000000000001.png"))
         assert panel is not None and panel.shape == (60, 160, 3)
+
+
+class TestCalibrateOutputConvs:
+    def test_preserves_leaf_dtypes_bf16(self):
+        """Calibration scales the output convs in place but must keep each
+        leaf's dtype: a numpy f32 promotion of bf16-at-rest params leaves a
+        mixed tree that silently retraces every compiled program and breaks
+        serving-bundle export."""
+        import jax
+
+        from test_eval_apps import SMALL_CFG
+
+        from tpupose.detectors import PoseDetector
+        from tpupose.utils.calibrate import calibrate_output_convs
+
+        det = PoseDetector("posenet", cfg=SMALL_CFG,
+                           compute_dtype=jnp.bfloat16)
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+        assert calibrate_output_convs(det, img)
+        dtypes = {str(leaf.dtype)
+                  for leaf in jax.tree_util.tree_leaves(det.variables)}
+        assert dtypes == {"bfloat16"}
+        poses, _ = det(img)  # calibrated tree still serves
+        assert poses.shape[1:] == (18, 3)
