@@ -1,0 +1,171 @@
+"""w8a8 post-training quantization (`tpupose/quant.py`).
+
+New capability beyond the reference (no quantization support in
+`/root/reference`).  CPU-verifiable contract: the quantized forward
+tracks the f32 model closely at the map level (random-weight nets are
+the WORST case — dense noise activations — so the tolerances here are
+conservative for trained weights), and the detector pipeline runs
+unchanged through the swapped `_apply` seam.  AP-level validation needs
+real released weights — the same external gate as BASELINE targets 1-2.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_eval_apps import SMALL_CFG
+
+from tpupose.config import FaceConfig, HandConfig
+from tpupose.detectors import FaceDetector, HandDetector, PoseDetector
+from tpupose.detectors.pose import preprocess_u8
+from tpupose.utils.calibrate import calibrate_output_convs
+
+
+def _calibrated_small_detector(rng, img):
+    det = PoseDetector("posenet", cfg=SMALL_CFG)
+    calibrate_output_convs(det, img)
+    return det
+
+
+def _fidelity(f, q):
+    f, q = np.asarray(f), np.asarray(q)
+    r = np.abs(f).max()
+    rms = np.sqrt(((f - q) ** 2).mean()) / r
+    corr = np.corrcoef(f.ravel(), q.ravel())[0, 1]
+    return rms, corr
+
+
+class TestQuantTree:
+    def test_every_conv_layer_quantized(self):
+        from tpupose.quant import ARCH_GRAPHS, calibrate_ranges, quantize
+
+        det = PoseDetector("posenet", cfg=SMALL_CFG)
+        rng = np.random.RandomState(0)
+        frames = rng.randint(0, 255, (2, 32, 32, 3), np.uint8)
+        ranges = calibrate_ranges(det.model, det.variables,
+                                  preprocess_u8(jnp.asarray(frames)))
+        qtree, static = quantize("posenet", det.variables, ranges)
+
+        graph = ARCH_GRAPHS["posenet"]
+        expected = {f"stem/{n}" for n, _ in graph.stem}
+        for stage in range(1, 7):
+            for module in graph.stage_modules(stage):
+                for layer in graph.branch_layers(stage, module):
+                    expected.add(f"{module}/{layer}")
+        assert set(qtree["qlayers"]) == expected
+        assert len(expected) == 12 + 2 * 5 + 2 * 5 * 7  # 92 convs
+
+        for path, spec in qtree["qlayers"].items():
+            meta = static.layer_meta[path]
+            for kq in spec["kernel_q"]:
+                assert kq.dtype == np.int8
+            assert sum(meta["splits"]) == sum(
+                k.shape[2] for k in spec["kernel_q"])
+        # refine-stage first convs carry one group per concat member
+        m1 = static.layer_meta["stage2_L1/Mconv1_stage2_L1"]
+        assert m1["splits"] == (38, 19, 128)
+        assert m1["pad_vals"] == (0, 0, -128)  # sym heads, shifted feature
+
+    def test_input_quant_is_lossless_posenet(self):
+        """X = round(x/a - z) with (1/255, 0.5) recovers u8 - 128 exactly."""
+        u8 = np.arange(256, dtype=np.uint8)
+        x = u8.astype(np.float32) / 255.0 - 0.5
+        X = np.clip(np.round(x * 255.0 - 0.5), -128, 127)
+        np.testing.assert_array_equal(X, u8.astype(np.int32) - 128)
+
+
+class TestQuantFidelity:
+    def test_posenet_maps_track_f32(self):
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        det = _calibrated_small_detector(rng, img)
+        x = preprocess_u8(jnp.asarray(img))[None]
+        pafs_f, hms_f = det._apply(det.variables, x)
+
+        calib = [rng.randint(0, 255, (64, 64, 3), np.uint8)
+                 for _ in range(3)] + [img]
+        det.quantize(calib)
+        assert det.quantized
+        pafs_q, hms_q = det._apply(det.variables, x)
+        # measured on this seed: paf rms 0.024 corr 0.9984, hm rms 0.006
+        # corr 0.9991 (random nets are the worst case)
+        for f, q in ((pafs_f[-1], pafs_q[-1]), (hms_f[-1], hms_q[-1])):
+            rms, corr = _fidelity(f, q)
+            assert rms < 0.05 and corr > 0.99, (rms, corr)
+
+    def test_calibration_generalizes_off_sample(self):
+        """Scales from one set of frames must hold on unseen frames (the
+        serving situation) — fidelity degrades only mildly."""
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        det = _calibrated_small_detector(rng, img)
+        calib = [rng.randint(0, 255, (64, 64, 3), np.uint8)
+                 for _ in range(4)]
+        unseen = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        x = preprocess_u8(jnp.asarray(unseen))[None]
+        _, hms_f = det._apply(det.variables, x)
+        det.quantize(calib)
+        _, hms_q = det._apply(det.variables, x)
+        rms, corr = _fidelity(hms_f[-1], hms_q[-1])
+        assert rms < 0.08 and corr > 0.98, (rms, corr)
+
+    def test_facenet_single_branch(self):
+        rng = np.random.RandomState(2)
+        fd = FaceDetector("facenet", cfg=FaceConfig(img_size=64))
+        crop = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        x = jnp.asarray(crop[None]).astype(jnp.float32) / 256.0 - 0.5
+        hm_f = fd._apply(fd.variables, x)[-1]
+        fd.quantize([crop, crop[:, ::-1]])
+        hm_q = fd._apply(fd.variables, x)[-1]
+        rms, corr = _fidelity(hm_f, hm_q)
+        assert rms < 0.05 and corr > 0.99, (rms, corr)
+
+
+class TestQuantPipeline:
+    def test_detector_pipeline_runs_quantized(self):
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 255, (64, 80, 3), np.uint8)
+        det = _calibrated_small_detector(rng, img)
+        det.quantize([img])
+        poses, scores = det(img)
+        assert poses.shape[1:] == (18, 3)
+
+        # batched path shares the same quantized forward: identical to
+        # two single calls on identical frames
+        single = det(img)
+        batched = det.detect_batch(np.stack([img, img]))
+        for got in batched:
+            np.testing.assert_array_equal(got[0], single[0])
+            np.testing.assert_array_equal(got[1], single[1])
+
+    def test_crop_detector_runs_quantized_with_flip(self):
+        rng = np.random.RandomState(4)
+        hd = HandDetector("handnet", cfg=HandConfig(img_size=64))
+        crop = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        want_channels = len(hd.detect_crop(crop, flip=True))
+        hd.quantize([crop])
+        kps = hd.detect_crop(crop, flip=True)
+        assert len(kps) == want_channels
+
+    def test_quantize_twice_raises(self):
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        det = PoseDetector("posenet", cfg=SMALL_CFG)
+        det.quantize([img])
+        with pytest.raises(ValueError, match="already quantized"):
+            det.quantize([img])
+
+    def test_serving_export_rejects_quantized(self, tmp_path):
+        from tpupose.serving import save_bundle
+
+        rng = np.random.RandomState(6)
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        det = PoseDetector("posenet", cfg=SMALL_CFG)
+        det.quantize([img])
+        with pytest.raises(ValueError, match="quantized"):
+            save_bundle(det, str(tmp_path / "b"), [(64, 64)],
+                        platforms=("cpu",))

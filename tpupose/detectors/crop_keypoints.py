@@ -68,7 +68,33 @@ class CropKeypointDetector:
         self.variables = commit_variables(
             self.variables,
             dtype=None if compute_dtype == jnp.float32 else compute_dtype)
+        # The forward seam the batched programs dispatch through; swapped
+        # by ``quantize()`` for the w8a8 int8-MXU forward (tpupose/quant.py).
+        self._apply = self.model.apply
+        self.quantized = False
         self._fns: Dict[tuple, object] = {}
+
+    def quantize(self, calib_crops) -> None:
+        """Switch to post-training w8a8 int8 inference (see
+        ``PoseDetector.quantize`` / ``tpupose/quant.py``).  ``calib_crops``:
+        a few representative HWC uint8 crops (any same size)."""
+        import cv2
+
+        from tpupose.quant import (calibrate_ranges, make_quant_apply,
+                                   quantize)
+
+        if self.quantized:
+            raise ValueError("detector is already quantized")
+        size = self.cfg.img_size
+        frames = np.stack([
+            cv2.resize(np.asarray(c), (size, size)) for c in calib_crops])
+        normalized = jnp.asarray(frames).astype(jnp.float32) / 256.0 - 0.5
+        ranges = calibrate_ranges(self.model, self.variables, normalized)
+        qtree, static = quantize(self.arch, self.variables, ranges)
+        self.variables = commit_variables(qtree)
+        self._apply = make_quant_apply(static)
+        self.quantized = True
+        self._fns.clear()
 
     # ------------------------------------------------------------------
 
@@ -124,11 +150,11 @@ class CropKeypointDetector:
     def _batch_forward_fn(self, batch: int):
         key = ("batch", batch)
         if key not in self._fns:
-            model = self.model
+            apply_fn = self._apply
 
             def fn(variables, imgs_u8):
                 x = imgs_u8.astype(jnp.float32) / 256.0 - 0.5
-                heatmaps = model.apply(variables, x)
+                heatmaps = apply_fn(variables, x)
                 return heatmaps[-1]            # (B, h, w, C)
 
             self._fns[key] = jax.jit(fn)

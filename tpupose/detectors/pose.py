@@ -136,11 +136,45 @@ class PoseDetector:
         self.variables = commit_variables(
             self.variables, mesh=mesh,
             dtype=None if compute_dtype == jnp.float32 else compute_dtype)
+        # The forward seam every traced body dispatches through; swapped
+        # by ``quantize()`` for the w8a8 int8-MXU forward (tpupose/quant.py).
+        self._apply = self.model.apply
+        self.quantized = False
         # jit caches keyed by static geometry.
         self._fast_fns: Dict[tuple, object] = {}
         self._scale_fns: Dict[tuple, object] = {}
         self._avg_fns: Dict[tuple, object] = {}
         self._warned_saturation = False
+
+    def quantize(self, calib_images, size: Optional[int] = None) -> None:
+        """Switch this detector to post-training w8a8 int8 inference.
+
+        ``calib_images``: a few serving-representative HWC uint8 frames
+        (the activation ranges are taken over them — see
+        ``tpupose/quant.py``).  All compiled programs are dropped and
+        re-trace to the quantized forward; postprocess, geometry, and
+        APIs are unchanged.  New capability beyond the reference (no
+        quantization support in ``/root/reference``)."""
+        import cv2
+
+        from tpupose.quant import (calibrate_ranges, make_quant_apply,
+                                   quantize)
+
+        if self.quantized:
+            raise ValueError("detector is already quantized")
+        size = size or self.cfg.img_size
+        frames = np.stack([
+            cv2.resize(np.asarray(img), (size, size))
+            for img in calib_images])
+        ranges = calibrate_ranges(self.model, self.variables,
+                                  preprocess_u8(jnp.asarray(frames)))
+        qtree, static = quantize(self.arch, self.variables, ranges)
+        self.variables = commit_variables(qtree, mesh=self.mesh)
+        self._apply = make_quant_apply(static)
+        self.quantized = True
+        self._fast_fns.clear()
+        self._scale_fns.clear()
+        self._avg_fns.clear()
 
     # ------------------------------------------------------------------
     # fast single-scale path (ref ``pose_detector.py:484-517``)
@@ -152,7 +186,7 @@ class PoseDetector:
         stage's maps (ref ``pose_detector.py:494-502``).  Returns
         channel-first (38, h, w) pafs and (19, h, w) heatmaps."""
         x = preprocess_u8(img_u8)[None]
-        pafs, heatmaps = self.model.apply(variables, x)
+        pafs, heatmaps = self._apply(variables, x)
         paf = resize_chainer(pafs[-1, 0], map_hw)       # (h, w, 38)
         hm = resize_chainer(heatmaps[-1, 0], map_hw)    # (h, w, 19)
         return (jnp.transpose(paf, (2, 0, 1)),
@@ -262,12 +296,12 @@ class PoseDetector:
         key = ("batch", batch, in_hw, map_hw)
         if key not in self._fast_fns:
             cfg = self.cfg
-            model = self.model
+            apply_fn = self._apply
             use_mesh = self.mesh is not None
 
             def fn(variables, imgs_u8):
                 x = preprocess_u8(imgs_u8)            # (B, H, W, 3)
-                pafs, heatmaps = model.apply(variables, x)
+                pafs, heatmaps = apply_fn(variables, x)
                 paf = resize_chainer(pafs[-1], map_hw)      # (B, h, w, 38)
                 hm = resize_chainer(heatmaps[-1], map_hw)   # (B, h, w, 19)
 
@@ -372,7 +406,7 @@ class PoseDetector:
         shipping each scaled copy dominated precise-mode latency)."""
         x = self._scaled_on_canvas_traced(
             imgs_u8, scaled_hw, padded_hw) / 255.0 - 0.5
-        pafs, heatmaps = self.model.apply(variables, x)
+        pafs, heatmaps = self._apply(variables, x)
         return self._scale_tail_traced(
             pafs[-1], heatmaps[-1], padded_hw, scaled_hw, post_hw)
 
@@ -413,7 +447,7 @@ class PoseDetector:
             [self._scaled_on_canvas_traced(imgs_u8, s_small, p_large),
              self._scaled_on_canvas_traced(imgs_u8, s_large, p_large)],
             axis=0) / 255.0 - 0.5
-        pafs, heatmaps = self.model.apply(variables, x)
+        pafs, heatmaps = self._apply(variables, x)
         paf, hm = pafs[-1], heatmaps[-1]
         small = self._scale_tail_traced(
             paf[:b], hm[:b], p_large, s_small, post_hw)
@@ -427,7 +461,7 @@ class PoseDetector:
         ``cfg.device_pyramid=False``) -> one scale's maps."""
         p_h, p_w = imgs_u8.shape[1], imgs_u8.shape[2]
         x = preprocess_u8(imgs_u8)
-        pafs, heatmaps = self.model.apply(variables, x)
+        pafs, heatmaps = self._apply(variables, x)
         return self._scale_tail_traced(
             pafs[-1], heatmaps[-1], (p_h, p_w),
             (p_h - pad[0], p_w - pad[1]), post_hw)

@@ -1,0 +1,425 @@
+"""Post-training w8a8 quantized inference (TPU int8 MXU path).
+
+New capability beyond the reference (no quantization support anywhere in
+``/root/reference``): the v5e MXU executes s8 x s8 -> s32 at 2x its bf16
+FLOP rate, and the pose pyramid is conv-compute-bound at ~55% bf16 MFU
+(``BENCH_DETAILS.json:trace_device_times``), so an int8 forward is the
+one large remaining device-latency lever.  Opt-in via
+``PoseDetector.quantize(calibration_images)``.
+
+Scheme (chosen so every step fuses into the conv epilogue under XLA):
+
+- **Weights**: symmetric per-output-channel int8
+  (``ws_o = max|W[..., o]| / 127``).
+- **Activations**: 8-bit with a *shifted* zero point where the data is
+  non-negative (post-ReLU): ``v = a * (X + 128)`` with ``X`` int8, so the
+  full 0..255 range is used instead of wasting the sign bit.  Tensors
+  that mix signs (the stage-head outputs entering each refinement
+  concat) use symmetric ``v = a * X``.
+- **Zero-point correction is exact and constant**: SAME padding would
+  make the correction spatially varying at the borders, so inputs are
+  pre-padded with the value representing ``v = 0`` (``X = -128`` for
+  shifted tensors, ``0`` for symmetric) and the conv runs VALID.  Then
+  ``conv(v, W) = a_in * ws_o * (conv_s32(X, Wq) + z_in * S_o)`` with
+  ``S_o = sum(Wq[..., o])`` a per-channel constant, folded with the bias
+  into one f32 multiply-add on the s32 accumulator.
+- **Input layer is lossless**: the preprocess is ``u8/255 - 0.5``
+  (``detectors/pose.py:44``), i.e. ``v = (u8 - 127.5)/255`` — exactly
+  representable as ``X = u8 - 128`` with ``a = 1/255, z = 127.5``.
+- **Heads stay f32**: the per-stage output convs (``conv5_5_CPM*`` /
+  ``Mconv7*``, no ReLU) dequantize their s32 accumulator to f32, so the
+  maps the postprocess consumes carry weight-quantization error only.
+
+Calibration runs the f32 model with ``capture_intermediates`` over a few
+representative frames and takes per-tensor max-abs ranges.
+
+Accuracy is validated against the f32 pipeline on calibrated synthetic
+scenes (``tests/test_quant.py``); with no COCO data or released weights
+on this box a real-AP delta cannot be measured — re-verify with
+``apps/evaluate.py`` when they exist (same gate as BASELINE targets 1-2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# Architecture graphs (mirrors tpupose/models/{cpm,posenet,facenet,handnet}.py
+# — layer names are the Chainer-parity module names, so specs index straight
+# into the params tree)
+# ---------------------------------------------------------------------------
+
+# (layer_name, pool_after) for the two stems
+VGG19_STEM = [
+    ("conv1_1", False), ("conv1_2", True),
+    ("conv2_1", False), ("conv2_2", True),
+    ("conv3_1", False), ("conv3_2", False), ("conv3_3", False),
+    ("conv3_4", True),
+    ("conv4_1", False), ("conv4_2", False),
+    ("conv4_3_CPM", False), ("conv4_4_CPM", False),
+]
+VGGFACE_STEM = [
+    ("conv1_1", False), ("conv1_2", True),
+    ("conv2_1", False), ("conv2_2", True),
+    ("conv3_1", False), ("conv3_2", False), ("conv3_3", False),
+    ("conv3_4", True),
+    ("conv4_1", False), ("conv4_2", False), ("conv4_3", False),
+    ("conv4_4", False),
+    ("conv5_1", False), ("conv5_2", False), ("conv5_3_CPM", False),
+]
+
+
+def _stage1_branch(suffix: str) -> List[str]:
+    return [f"conv5_{i}_CPM{suffix}" for i in range(1, 6)]
+
+
+def _refine_branch(stage: int, suffix: str) -> List[str]:
+    return [f"Mconv{i}_stage{stage}{suffix}" for i in range(1, 8)]
+
+
+@dataclasses.dataclass(frozen=True)
+class ArchGraph:
+    """Quantizer's view of one CPM architecture."""
+
+    stem: List[Tuple[str, bool]]
+    two_branch: bool
+    num_stages: int = 6
+
+    def stage_modules(self, stage: int) -> List[str]:
+        if self.two_branch:
+            return [f"stage{stage}_L1", f"stage{stage}_L2"]
+        return [f"stage{stage}"]
+
+    def branch_layers(self, stage: int, module: str) -> List[str]:
+        if stage == 1:
+            if self.two_branch:
+                return _stage1_branch("_L" + module[-1])
+            return ["conv6_1_CPM", "conv6_2_CPM"]
+        suffix = "_L" + module[-1] if self.two_branch else ""
+        return _refine_branch(stage, suffix)
+
+
+ARCH_GRAPHS: Dict[str, ArchGraph] = {
+    "posenet": ArchGraph(stem=VGG19_STEM, two_branch=True),
+    "facenet": ArchGraph(stem=VGGFACE_STEM, two_branch=False),
+    "handnet": ArchGraph(stem=VGGFACE_STEM, two_branch=False),
+}
+
+
+# ---------------------------------------------------------------------------
+# Calibration: per-tensor max-abs ranges from the f32 model
+# ---------------------------------------------------------------------------
+
+
+def calibrate_ranges(model, variables, frames_normalized) -> Dict[str, float]:
+    """Run the f32 model over normalized (B, H, W, 3) frames capturing
+    every ConvReLU / branch output; returns ``path -> max|value|`` with
+    paths like ``"stem/conv1_1"`` and ``"stage2_L1"`` (branch outputs).
+
+    Plain max (not a percentile): the activation scale then covers every
+    calibration value, which keeps the quantized pipeline's synthetic
+    parity tests deterministic.  Feed frames representative of serving
+    data — the reference sample images work well.
+    """
+    ranges: Dict[str, float] = {}
+    for frame in frames_normalized:
+        x = jnp.asarray(frame)[None] if frame.ndim == 3 else jnp.asarray(frame)
+        _, inter = model.apply(variables, x, capture_intermediates=True,
+                               mutable=["intermediates"])
+        flat = _flatten_intermediates(inter["intermediates"])
+        for path, arr in flat.items():
+            m = float(jnp.max(jnp.abs(arr)))
+            ranges[path] = max(ranges.get(path, 0.0), m)
+    return ranges
+
+
+def _flatten_intermediates(tree, prefix: str = "") -> Dict[str, jnp.ndarray]:
+    out: Dict[str, jnp.ndarray] = {}
+    for key, val in tree.items():
+        if key == "__call__":
+            arr = val[0]
+            if isinstance(arr, tuple):  # model root returns a tuple
+                continue
+            out[prefix.rstrip("/")] = arr
+        elif isinstance(val, dict):
+            out.update(_flatten_intermediates(val, prefix + key + "/"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quantization: f32 params + ranges -> int8 spec tree
+# ---------------------------------------------------------------------------
+
+_EPS = 1e-12
+
+
+def _quantize_kernel(kernel: np.ndarray):
+    """Per-output-channel symmetric int8: returns (kq, ws) with
+    ws shape (O,)."""
+    ws = np.maximum(np.abs(kernel).reshape(-1, kernel.shape[-1]).max(axis=0),
+                    _EPS) / 127.0
+    kq = np.clip(np.round(kernel / ws), -127, 127).astype(np.int8)
+    return kq, ws.astype(np.float32)
+
+
+def _layer_spec(params, module: str, layer: str,
+                groups: List[Tuple[float, float]],
+                relu: bool, a_out: Optional[float]):
+    """Build one quantized conv layer's arrays.
+
+    ``groups``: per input-channel-group ``(a_in, z_in, n_channels)`` —
+    the concat entering each refinement stage keeps SEPARATE scales per
+    member (stage heads span ~1.0 while the stem feature spans ~0.05; a
+    shared concat scale would starve the small member to a few levels),
+    so the first refine conv runs one s32 accumulation per group and
+    combines them in f32.  Single-input layers are the 1-group case.
+
+    ``a_out=None`` -> f32 output (head).  Folded epilogue:
+    ``y = sum_g acc_g * mult_g + bias_eff`` in output-scale units (real
+    units for heads).
+    """
+    conv = params[module][layer]["conv"]
+    kernel = np.asarray(conv["kernel"], np.float32)
+    bias = np.asarray(conv["bias"], np.float32)
+    assert sum(n for _, _, n in groups) == kernel.shape[2], (
+        module, layer, groups, kernel.shape)
+    kqs, mults, pad_vals, splits = [], [], [], []
+    bias_eff = (bias if a_out is None else bias / a_out).astype(np.float64)
+    start = 0
+    for a_in, z_in, n in groups:
+        part = kernel[:, :, start:start + n, :]
+        start += n
+        kq, ws = _quantize_kernel(part)
+        s_o = kq.astype(np.int64).sum(axis=(0, 1, 2)).astype(np.float64)
+        mult = a_in * ws if a_out is None else a_in * ws / a_out
+        bias_eff = bias_eff + z_in * s_o * mult
+        kqs.append(kq)
+        mults.append(mult.astype(np.float32))
+        # padding must represent v = 0, i.e. X = -z_in; for the image
+        # layer (z = 0.5) the nearest integer 0 pads with v = a/2
+        # ~ 0.002 — below the u8 input's own quantum.
+        pad_vals.append(int(np.clip(np.round(-z_in), -128, 127)))
+        splits.append(int(n))
+    return {
+        "kernel_q": tuple(kqs),
+        "mult": tuple(mults),
+        "bias_eff": bias_eff.astype(np.float32),
+        "meta": {
+            "ksize": int(kernel.shape[0]),
+            "relu": bool(relu),
+            "pad_vals": tuple(pad_vals),
+            "splits": tuple(splits),
+            "f32_out": a_out is None,
+        },
+    }
+
+
+def quantize(arch: str, variables, ranges: Dict[str, float],
+             input_quant: Optional[Tuple[float, float]] = None):
+    """f32 ``variables`` + calibration ``ranges`` -> quantized tree.
+
+    ``input_quant``: the lossless ``(a, z)`` of the preprocess, i.e.
+    normalized pixels satisfy ``v = a * (X + z)`` with ``X = u8 - 128``.
+    Default by arch: posenet preprocesses ``u8/255 - 0.5``
+    (``detectors/pose.py:44``) -> ``(1/255, 0.5)``; the crop nets use
+    ``u8/256 - 0.5`` (``detectors/crop_keypoints.py:130``, reference
+    ``face_detector.py:29``) -> ``(1/256, 0)``, exactly symmetric.
+
+    The tree is a plain dict pytree: ``{"qlayers": {path: {kernel_q,
+    mult, bias_eff}}, "part_scales": {stage: (a_head, ...)}}`` plus
+    static per-layer meta (plain Python values) returned separately so
+    jitted programs close over it.  Returns ``(qtree, static)``.
+    """
+    if input_quant is None:
+        input_quant = (1.0 / 255.0, 0.5) if arch == "posenet" \
+            else (1.0 / 256.0, 0.0)
+    graph = ARCH_GRAPHS[arch]
+    params = jax.device_get(variables)["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float32), params)
+
+    def a_of(path: str) -> float:
+        return max(ranges[path], _EPS) / 127.0
+
+    def out_channels(module: str, layer: str) -> int:
+        return int(params[module][layer]["conv"]["kernel"].shape[-1])
+
+    qlayers: Dict[str, dict] = {}
+    meta: Dict[str, dict] = {}
+    part_scales: Dict[str, tuple] = {}
+
+    def add(module: str, layer: str, groups, relu: bool,
+            a_out: Optional[float]) -> None:
+        spec = _layer_spec(params, module, layer, groups, relu, a_out)
+        path = f"{module}/{layer}"
+        meta[path] = spec.pop("meta")
+        qlayers[path] = spec
+
+    # stem: input layer is the lossless image quant — X = u8 - 128 (see
+    # ``input_quant`` above)
+    a_in, z_in = input_quant
+    for name, _pool in graph.stem:
+        a_out = a_of(f"stem/{name}")
+        n_in = int(params["stem"][name]["conv"]["kernel"].shape[2])
+        add("stem", name, [(a_in, z_in, n_in)], relu=True, a_out=a_out)
+        a_in, z_in = a_out, 128.0
+    a_feat = a_in  # shifted scale of the stem feature map
+    feat_ch = out_channels("stem", graph.stem[-1][0])
+
+    num_stages = graph.num_stages
+    for stage in range(1, num_stages + 1):
+        modules = graph.stage_modules(stage)
+        if stage == 1:
+            in_groups = [(a_feat, 128.0, feat_ch)]
+        else:
+            # concat(head_outputs..., feature): heads quantize
+            # symmetric at their own scales, the feature arrives
+            # already-quantized (shifted) — no requantization loss
+            prev = graph.stage_modules(stage - 1)
+            head_as = tuple(a_of(p) for p in prev)
+            part_scales[f"stage{stage}"] = tuple(
+                np.float32(a) for a in head_as)
+            in_groups = [
+                (a, 0.0, out_channels(p, graph.branch_layers(stage - 1,
+                                                             p)[-1]))
+                for a, p in zip(head_as, prev)
+            ] + [(a_feat, 128.0, feat_ch)]
+        for module in modules:
+            layers = graph.branch_layers(stage, module)
+            groups = in_groups
+            for layer in layers[:-1]:
+                a_out = a_of(f"{module}/{layer}")
+                add(module, layer, groups, relu=True, a_out=a_out)
+                groups = [(a_out, 128.0, out_channels(module, layer))]
+            add(module, layers[-1], groups, relu=False, a_out=None)
+
+    qtree = {
+        "qlayers": qlayers,
+        "part_scales": part_scales,
+    }
+    static = QuantStatic(arch=arch, layer_meta=meta,
+                         stem=tuple(graph.stem),
+                         two_branch=graph.two_branch,
+                         num_stages=num_stages,
+                         input_a=float(input_quant[0]),
+                         input_z=float(input_quant[1]))
+    return qtree, static
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantStatic:
+    """Per-layer static info the traced forward closes over."""
+
+    arch: str
+    layer_meta: Dict[str, dict]
+    stem: Tuple[Tuple[str, bool], ...]
+    two_branch: bool
+    num_stages: int
+    input_a: float
+    input_z: float
+
+
+# ---------------------------------------------------------------------------
+# Quantized forward (pure function; mirrors the Flax models' wiring)
+# ---------------------------------------------------------------------------
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _qconv(parts, spec, meta):
+    """One quantized conv layer: tuple of s8 NHWC input groups (the
+    refine-stage concat members; 1-tuple everywhere else) -> s8 (or f32
+    head) out.  Each group runs its own s8xs8->s32 accumulation (same
+    total MACs as the concatenated conv) and the f32 epilogue combines
+    them with the folded scales/zero-corrections/bias."""
+    p = meta["ksize"] // 2
+    y = None
+    for xq, kq, mult, pad_val in zip(parts, spec["kernel_q"],
+                                     spec["mult"], meta["pad_vals"]):
+        if p:
+            xq = jnp.pad(xq, ((0, 0), (p, p), (p, p), (0, 0)),
+                         constant_values=np.int8(pad_val))
+        acc = lax.conv_general_dilated(
+            xq, kq, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=_DN, preferred_element_type=jnp.int32)
+        part = acc.astype(jnp.float32) * mult
+        y = part if y is None else y + part
+    y = y + spec["bias_eff"]
+    if meta["f32_out"]:
+        return y
+    if meta["relu"]:
+        y = jnp.maximum(y, 0.0)
+    # shifted 8-bit store: v = a_out * (X + 128), X in [-128, 127]
+    return (jnp.clip(jnp.round(y), 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+
+def _max_pool_s8(x):
+    return lax.reduce_window(x, np.int8(-128), lax.max,
+                             (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def _quant_sym(x_f32, a_to):
+    return jnp.clip(jnp.round(x_f32 / a_to), -128.0, 127.0).astype(jnp.int8)
+
+
+def quant_apply(static: QuantStatic, qtree, x):
+    """Quantized forward matching ``model.apply(variables, x)``:
+    normalized f32 (B, H, W, 3) in, stacked per-stage f32 maps out —
+    ``(pafs, heatmaps)`` for two-branch, stacked heatmaps otherwise."""
+    ql = qtree["qlayers"]
+    meta = static.layer_meta
+
+    def run(module, layer, parts):
+        path = f"{module}/{layer}"
+        return _qconv(parts, ql[path], meta[path])
+
+    # lossless input quantization: X = u8 - 128 (see ``quantize``)
+    xq = jnp.clip(jnp.round(x / static.input_a - static.input_z),
+                  -128.0, 127.0).astype(jnp.int8)
+    for name, pool in static.stem:
+        xq = run("stem", name, (xq,))
+        if pool:
+            xq = _max_pool_s8(xq)
+    feat_q = xq  # shifted, scale folded into every consumer's mult
+
+    graph = ARCH_GRAPHS[static.arch]
+    heads: List[List[jnp.ndarray]] = []  # per stage: [h1(, h2)]
+    for stage in range(1, static.num_stages + 1):
+        modules = graph.stage_modules(stage)
+        if stage == 1:
+            parts_in = (feat_q,)
+        else:
+            scales = qtree["part_scales"][f"stage{stage}"]
+            parts_in = tuple(
+                _quant_sym(h, a) for h, a in zip(heads[-1], scales)
+            ) + (feat_q,)
+        outs = []
+        for module in modules:
+            layers = graph.branch_layers(stage, module)
+            parts = parts_in
+            for layer in layers:
+                parts = (run(module, layer, parts),)
+            outs.append(parts[0])
+        heads.append(outs)
+
+    if static.two_branch:
+        pafs = jnp.stack([h[0] for h in heads], axis=0)
+        hms = jnp.stack([h[1] for h in heads], axis=0)
+        return pafs, hms
+    return jnp.stack([h[0] for h in heads], axis=0)
+
+
+def make_quant_apply(static: QuantStatic):
+    """``(qtree, x) -> maps`` closure matching the ``model.apply``
+    signature detectors dispatch through."""
+
+    def apply_fn(variables, x):
+        return quant_apply(static, variables, x)
+
+    return apply_fn

@@ -56,6 +56,14 @@ _META = "meta.json"
 _PARAMS = "params.npz"
 
 
+def _reject_quantized(det) -> None:
+    if getattr(det, "quantized", False):
+        raise ValueError(
+            "quantized detectors cannot be exported to a bundle yet — "
+            "bundles pin f32 programs; quantize a live detector instead "
+            "(tpupose/quant.py)")
+
+
 def _geometry(cfg: InferenceConfig, orig_h: int, orig_w: int):
     """The fast path's (input_hw, map_hw) for an original image size —
     the same arithmetic as ``PoseDetector._submit_fast`` (ref
@@ -77,6 +85,7 @@ def save_bundle(det: PoseDetector, path: str,
     export the device-pyramid per-scale programs plus the cross-scale
     average+postprocess program (one original-image upload per frame at
     serve time, like the live detector)."""
+    _reject_quantized(det)
     if det.precise and not det.cfg.device_pyramid:
         raise ValueError(
             "precise serving bundles require cfg.device_pyramid=True (the "
@@ -280,6 +289,7 @@ def save_crop_bundle(det, path: str, crop_sizes: List[Tuple[int, int]],
     flip).  Completes the demo cascade's serving story — the pose net via
     ``save_bundle``, the crop nets via this (ref ``demo.py:31-58`` runs
     1+3N serial Chainer forwards instead)."""
+    _reject_quantized(det)
     os.makedirs(path, exist_ok=True)
     host_vars = jax.device_get(det.variables)
     params_dtype = _save_params(path, host_vars)
