@@ -623,12 +623,27 @@ def main(argv=None) -> None:
         calibrate_output_convs(det_fast, img)
         for _ in range(2):
             det_fast(img)
+        # int8 (w8a8) twins: programs carry the poseq_* prefix so the
+        # trace separates them from the f32 rows
+        det_q = PoseDetector("posenet", precise=True)
+        calibrate_output_convs(det_q, img)
+        det_q.quantize(distinct_frames(img, 2))
+        det_fast_q = PoseDetector("posenet")
+        calibrate_output_convs(det_fast_q, img)
+        det_fast_q.quantize(distinct_frames(img, 2))
+        for _ in range(2):
+            det_q(img)
+            det_fast_q(img)
         with trace(args.trace):
             for i, frame in enumerate(distinct_frames(img, 4)):
                 with annotate(f"precise_frame_{i}"):
                     det(frame)
                 with annotate(f"fast_frame_{i}"):
                     det_fast(frame)
+                with annotate(f"quant_precise_frame_{i}"):
+                    det_q(frame)
+                with annotate(f"quant_fast_frame_{i}"):
+                    det_fast_q(frame)
         times = parse_trace_module_times(args.trace)
         merge_detail({"trace_device_times": {
             "programs": times,

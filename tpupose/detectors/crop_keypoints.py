@@ -70,7 +70,8 @@ class CropKeypointDetector:
             dtype=None if compute_dtype == jnp.float32 else compute_dtype)
         # The forward seam the batched programs dispatch through; swapped
         # by ``quantize()`` for the w8a8 int8-MXU forward (tpupose/quant.py).
-        self._apply = self.model.apply
+        # Late-binds self.model so tests may stub it after construction.
+        self._apply = lambda variables, x: self.model.apply(variables, x)
         self.quantized = False
         self._fns: Dict[tuple, object] = {}
 

@@ -138,8 +138,13 @@ class PoseDetector:
             dtype=None if compute_dtype == jnp.float32 else compute_dtype)
         # The forward seam every traced body dispatches through; swapped
         # by ``quantize()`` for the w8a8 int8-MXU forward (tpupose/quant.py).
-        self._apply = self.model.apply
+        # Late-binds self.model so tests may stub it after construction.
+        self._apply = lambda variables, x: self.model.apply(variables, x)
         self.quantized = False
+        # prefix of the self-describing XLA module names (profiler traces
+        # map programs to pipeline stages by it; quantize() re-prefixes so
+        # f32 and int8 programs stay distinguishable in one trace)
+        self._program_prefix = "pose"
         # jit caches keyed by static geometry.
         self._fast_fns: Dict[tuple, object] = {}
         self._scale_fns: Dict[tuple, object] = {}
@@ -172,6 +177,7 @@ class PoseDetector:
         self.variables = commit_variables(qtree, mesh=self.mesh)
         self._apply = make_quant_apply(static)
         self.quantized = True
+        self._program_prefix = "poseq"
         self._fast_fns.clear()
         self._scale_fns.clear()
         self._avg_fns.clear()
@@ -207,7 +213,8 @@ class PoseDetector:
                 return self._fast_traced(variables, img_u8, map_hw)
 
             # self-describing XLA module name in profiler traces
-            fn.__name__ = f"pose_fast_{in_hw[0]}x{in_hw[1]}"
+            fn.__name__ = (f"{self._program_prefix}_fast_"
+                           f"{in_hw[0]}x{in_hw[1]}")
             self._fast_fns[key] = jax.jit(fn)
         return self._fast_fns[key]
 
@@ -498,7 +505,8 @@ class PoseDetector:
                 return self._avg_postprocess_traced(
                     paf_list, hm_list, o_w, n_scales)
 
-            fn.__name__ = f"pose_avg_postprocess_{orig_hw[0]}x{orig_hw[1]}"
+            fn.__name__ = (f"{self._program_prefix}_avg_postprocess_"
+                           f"{orig_hw[0]}x{orig_hw[1]}")
             self._avg_fns[key] = jax.jit(fn)
         return self._avg_fns[key]
 
@@ -517,7 +525,8 @@ class PoseDetector:
                     orig_hw)
                 return paf[0], hm[0]
 
-            fn.__name__ = f"pose_scale_{scaled_hw[0]}x{scaled_hw[1]}"
+            fn.__name__ = (f"{self._program_prefix}_scale_"
+                           f"{scaled_hw[0]}x{scaled_hw[1]}")
             self._scale_fns[key] = jax.jit(fn)
         return self._scale_fns[key]
 
