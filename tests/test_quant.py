@@ -169,3 +169,32 @@ class TestQuantPipeline:
         with pytest.raises(ValueError, match="quantized"):
             save_bundle(det, str(tmp_path / "b"), [(64, 64)],
                         platforms=("cpu",))
+
+
+class TestQuantApps:
+    def test_camera_pose_quant_flag(self, tmp_path, monkeypatch):
+        """--quant quantizes on the first frame and the pipelined loop
+        keeps serving through the swapped programs."""
+        import os
+
+        import cv2
+
+        import tpupose.detectors as det_mod
+        from tpupose.apps import camera
+
+        video = str(tmp_path / "in.mp4")
+        w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (64, 48))
+        rng = np.random.RandomState(7)
+        for _ in range(4):
+            w.write(rng.randint(0, 255, (48, 64, 3), np.uint8))
+        w.release()
+
+        real = PoseDetector("posenet", cfg=SMALL_CFG)
+        monkeypatch.setattr(det_mod, "PoseDetector",
+                            lambda *a, **kw: real)
+        out = str(tmp_path / "out.mp4")
+        camera.main(["pose", "--video", video, "--headless",
+                     "--save", out, "--max-frames", "3", "--quant"])
+        assert real.quantized
+        assert os.path.exists(out)

@@ -97,6 +97,13 @@ def _parse_mesh(spec):
     return make_mesh(n_data=n_data, n_spatial=n_spatial)
 
 
+def _maybe_quantize(detector, args, frame) -> None:
+    """--quant: switch to w8a8 int8 inference (tpupose/quant.py) the first
+    time a frame is available, calibrating on it + its mirror."""
+    if getattr(args, "quant", False) and not detector.quantized:
+        detector.quantize([frame, frame[:, ::-1]])
+
+
 def run_pose_batched(args):
     """Batched throughput mode: groups of ``--batch`` frames go through
     one fused device program (new capability; the reference is strictly
@@ -133,6 +140,7 @@ def run_pose_batched(args):
         # program for a one-off batch size (10-60 s per compile here) —
         # and an uneven tail cannot be sharded over a --mesh data axis.
         n_real = len(frames)
+        _maybe_quantize(detector, args, frames[0])
         padded = frames + [frames[-1]] * (args.batch - n_real)
         results = detector.detect_batch(np.stack(padded))[:n_real]
         for img, (poses, _) in zip(frames, results):
@@ -179,6 +187,7 @@ def run_pose(args):
             print("Failed to capture image" if not args.video
                   else "End of video")
             break
+        _maybe_quantize(detector, args, img)
         handle = detector.submit(img)     # dispatch frame N (non-blocking)
         if pending is not None:           # draw frame N-1 while N computes
             prev_handle, prev_img = pending
@@ -309,6 +318,7 @@ def run_face(args):
         ret, img = cap.read()
         if not ret:
             break
+        _maybe_quantize(detector, args, img)
         located = find_crops(img)
         handle = detector.submit_crops([c for c, _ in located])
         if pending is not None:
@@ -348,6 +358,11 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 network compute (faster; keypoints may "
                         "shift a pixel vs the f32 reference-parity path)")
+    p.add_argument("--quant", action="store_true",
+                   help="w8a8 int8 network compute (tpupose/quant.py), "
+                        "calibrated on the first frame; runs the MXU at "
+                        "its 2x int8 rate at the cost of small map "
+                        "shifts vs the f32 reference-parity path")
     p.add_argument("--nms-mode", choices=("scipy", "conv"), default="scipy",
                    help="pose mode: peak NMS semantics — 'scipy' = the "
                         "reference CPU path (golden-image parity target), "

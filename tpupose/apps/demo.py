@@ -93,6 +93,11 @@ def main(argv=None):
                         "compiles a bounded set of tail programs instead "
                         "of one per crop (<= ~1 px keypoint shift); 1 = "
                         "exact per-crop reference semantics")
+    p.add_argument("--quant", action="store_true",
+                   help="w8a8 int8 inference for all three nets "
+                        "(tpupose/quant.py), calibrated on the input "
+                        "image; runs the MXU at its 2x int8 rate at the "
+                        "cost of small map shifts vs the f32 parity path")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -116,6 +121,15 @@ def main(argv=None):
     img = cv2.imread(args.img)
     if img is None:
         raise FileNotFoundError(args.img)
+
+    if args.quant:
+        # calibrate on the frame being served (and its mirror, for range
+        # robustness); crop nets calibrate on the full frame resized to
+        # their input size — crops are sub-regions of it
+        calib = [img, img[:, ::-1]]
+        pose_detector.quantize(calib)
+        face_detector.quantize(calib)
+        hand_detector.quantize(calib)
 
     print("Estimating pose...")
     res_img, results = run_cascade(
