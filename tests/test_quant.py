@@ -159,16 +159,43 @@ class TestQuantPipeline:
         with pytest.raises(ValueError, match="already quantized"):
             det.quantize([img])
 
-    def test_serving_export_rejects_quantized(self, tmp_path):
-        from tpupose.serving import save_bundle
+    def test_quantized_bundle_round_trips(self, tmp_path):
+        """A quantized detector exports its int8 programs + tree; the
+        loaded bundle reproduces the live quantized detector exactly
+        (int8 kernels and f32 scales round-trip npz natively)."""
+        from tpupose.serving import ServingPoseDetector, save_bundle
 
         rng = np.random.RandomState(6)
-        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
-        det = PoseDetector("posenet", cfg=SMALL_CFG)
+        img = rng.randint(0, 255, (64, 80, 3), np.uint8)
+        det = _calibrated_small_detector(rng, img)
         det.quantize([img])
-        with pytest.raises(ValueError, match="quantized"):
-            save_bundle(det, str(tmp_path / "b"), [(64, 64)],
-                        platforms=("cpu",))
+        want_poses, want_scores = det(img)
+
+        path = str(tmp_path / "qbundle")
+        save_bundle(det, path, [img.shape[:2]], platforms=("cpu",))
+        srv = ServingPoseDetector(path)
+        got_poses, got_scores = srv(img)
+        np.testing.assert_array_equal(got_poses, want_poses)
+        np.testing.assert_array_equal(got_scores, want_scores)
+        leaf_dtypes = {str(leaf.dtype) for leaf in
+                       jax.tree_util.tree_leaves(srv.variables)}
+        assert leaf_dtypes == {"int8", "float32"}
+
+    def test_quantized_crop_bundle_round_trips(self, tmp_path):
+        from tpupose.serving import ServingCropDetector, save_crop_bundle
+
+        rng = np.random.RandomState(9)
+        fd = FaceDetector("facenet", cfg=FaceConfig(img_size=64))
+        crop = rng.randint(0, 255, (48, 56, 3), np.uint8)
+        fd.quantize([crop])
+        want = fd.detect_crop(crop)
+
+        path = str(tmp_path / "qcrop")
+        save_crop_bundle(fd, path, [(48, 56)], batch_sizes=(1,),
+                         flips=(False,), platforms=("cpu",))
+        srv = ServingCropDetector(path)
+        got = srv.detect_crop(crop)
+        assert got == want
 
 
 class TestQuantApps:
@@ -198,3 +225,28 @@ class TestQuantApps:
                      "--save", out, "--max-frames", "3", "--quant"])
         assert real.quantized
         assert os.path.exists(out)
+
+
+class TestQuantMesh:
+    def test_quantized_detect_batch_on_mesh_matches_meshless(self):
+        """The int8 forward is plain XLA convs (no custom calls), so GSPMD
+        shards it like the f32 one: meshed quantized detect_batch must
+        equal the mesh-less quantized path bit for bit (same programs,
+        replicated int8 tree)."""
+        from tpupose.parallel import make_mesh
+
+        rng = np.random.RandomState(8)
+        imgs = rng.randint(0, 255, (4, 64, 80, 3), np.uint8)
+        calib = [imgs[0]]
+
+        det_plain = PoseDetector("posenet", cfg=SMALL_CFG)
+        det_plain.quantize(calib)
+        det_mesh = PoseDetector("posenet", cfg=SMALL_CFG,
+                                mesh=make_mesh(n_data=4, n_spatial=2))
+        det_mesh.quantize(calib)
+        ref = det_plain.detect_batch(imgs)
+        got = det_mesh.detect_batch(imgs)
+        assert len(got) == len(ref)
+        for (gp, gs), (rp, rs) in zip(got, ref):
+            np.testing.assert_allclose(gp, rp, atol=1e-4)
+            np.testing.assert_allclose(gs, rs, atol=1e-4)

@@ -25,7 +25,8 @@ Scheme (chosen so every step fuses into the conv epilogue under XLA):
   into one f32 multiply-add on the s32 accumulator.
 - **Input layer is lossless**: the preprocess is ``u8/255 - 0.5``
   (``detectors/pose.py:44``), i.e. ``v = (u8 - 127.5)/255`` — exactly
-  representable as ``X = u8 - 128`` with ``a = 1/255, z = 127.5``.
+  representable as ``X = u8 - 128`` with ``a = 1/255, z = 0.5``; the
+  crop nets' ``u8/256 - 0.5`` is the exactly-symmetric ``(1/256, 0)``.
 - **Heads stay f32**: the per-stage output convs (``conv5_5_CPM*`` /
   ``Mconv7*``, no ReLU) dequantize their s32 accumulator to f32, so the
   maps the postprocess consumes carry weight-quantization error only.
@@ -423,3 +424,51 @@ def make_quant_apply(static: QuantStatic):
         return quant_apply(static, variables, x)
 
     return apply_fn
+
+
+# ---------------------------------------------------------------------------
+# Flat (npz-compatible) round trip for serving bundles
+# ---------------------------------------------------------------------------
+
+_FLAT_SEP = "|"  # layer paths contain "/" (module/layer), never "|"
+
+
+def qtree_to_flat(qtree) -> Dict[str, np.ndarray]:
+    """Quantized tree -> {key: array} for ``np.savez`` (tuple positions
+    become integer path components)."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, prefix + [str(k)])
+        elif isinstance(node, (tuple, list)):
+            for i, v in enumerate(node):
+                walk(v, prefix + [str(i)])
+        else:
+            flat[_FLAT_SEP.join(prefix)] = np.asarray(node)
+
+    walk(qtree, [])
+    return flat
+
+
+def qtree_from_flat(flat: Dict[str, np.ndarray]):
+    """Inverse of ``qtree_to_flat``: all-digit dict levels fold back into
+    tuples, so the pytree structure matches what ``jax.export`` recorded
+    at save time."""
+    root: dict = {}
+    for key, arr in flat.items():
+        parts = key.split(_FLAT_SEP)
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+
+    def fold(node):
+        if isinstance(node, dict):
+            if node and all(k.isdigit() for k in node):
+                return tuple(fold(node[str(i)]) for i in range(len(node)))
+            return {k: fold(v) for k, v in node.items()}
+        return node
+
+    return fold(root)

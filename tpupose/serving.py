@@ -56,14 +56,6 @@ _META = "meta.json"
 _PARAMS = "params.npz"
 
 
-def _reject_quantized(det) -> None:
-    if getattr(det, "quantized", False):
-        raise ValueError(
-            "quantized detectors cannot be exported to a bundle yet — "
-            "bundles pin f32 programs; quantize a live detector instead "
-            "(tpupose/quant.py)")
-
-
 def _geometry(cfg: InferenceConfig, orig_h: int, orig_w: int):
     """The fast path's (input_hw, map_hw) for an original image size —
     the same arithmetic as ``PoseDetector._submit_fast`` (ref
@@ -84,8 +76,8 @@ def save_bundle(det: PoseDetector, path: str,
     Fast detectors export one program per geometry; precise detectors
     export the device-pyramid per-scale programs plus the cross-scale
     average+postprocess program (one original-image upload per frame at
-    serve time, like the live detector)."""
-    _reject_quantized(det)
+    serve time, like the live detector).  Quantized (w8a8) detectors
+    export their int8 programs + tree the same way."""
     if det.precise and not det.cfg.device_pyramid:
         raise ValueError(
             "precise serving bundles require cfg.device_pyramid=True (the "
@@ -166,9 +158,18 @@ def _cfg_from_meta(d: dict, cls=InferenceConfig):
     return cls(**kw)
 
 
+_QUANT_DTYPE = "quant-w8a8"
+
+
 def _save_params(path: str, host_vars) -> str:
     """Write params.npz (floats stored f32 — npz cannot round-trip bf16);
-    returns the recorded params dtype name."""
+    returns the recorded params dtype name.  Quantized trees (int8
+    kernels + f32 scales, ``tpupose/quant.py``) round-trip natively."""
+    if "qlayers" in host_vars:
+        from tpupose.quant import qtree_to_flat
+
+        np.savez(os.path.join(path, _PARAMS), **qtree_to_flat(host_vars))
+        return _QUANT_DTYPE
     from flax.traverse_util import flatten_dict
 
     flat = flatten_dict(host_vars["params"], sep="/")
@@ -192,9 +193,16 @@ def _save_params(path: str, host_vars) -> str:
 def _load_params_committed(path: str, meta: dict):
     from flax.traverse_util import unflatten_dict
 
-    with np.load(os.path.join(path, _PARAMS)) as z:
-        params = unflatten_dict({k: z[k] for k in z.files}, sep="/")
     pd = meta.get("params_dtype", "float32")
+    with np.load(os.path.join(path, _PARAMS)) as z:
+        flat = {k: z[k] for k in z.files}
+    if pd == _QUANT_DTYPE:
+        from tpupose.quant import qtree_from_flat
+
+        # the exported programs recorded the quantized pytree structure
+        # (dicts + per-group tuples); rebuild it exactly
+        return commit_variables(qtree_from_flat(flat))
+    params = unflatten_dict(flat, sep="/")
     return commit_variables(
         {"params": params},
         dtype=None if pd == "float32" else getattr(jnp, pd))
@@ -288,8 +296,8 @@ def save_crop_bundle(det, path: str, crop_sizes: List[Tuple[int, int]],
     forward per batch size, plus the resize+argmax tail per (crop size,
     flip).  Completes the demo cascade's serving story — the pose net via
     ``save_bundle``, the crop nets via this (ref ``demo.py:31-58`` runs
-    1+3N serial Chainer forwards instead)."""
-    _reject_quantized(det)
+    1+3N serial Chainer forwards instead).  Quantized (w8a8) detectors
+    export their int8 programs + tree the same way."""
     os.makedirs(path, exist_ok=True)
     host_vars = jax.device_get(det.variables)
     params_dtype = _save_params(path, host_vars)
