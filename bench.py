@@ -579,6 +579,11 @@ def main(argv=None) -> None:
                    help="capture a jax.profiler device trace of a few "
                         "precise-mode frames into LOGDIR (view with "
                         "TensorBoard/XProf) instead of timing")
+    p.add_argument("--trace-nets", default="f32,quant",
+                   help="comma list of {f32,quant}: which detector pairs "
+                        "the --trace run builds (quant-only halves compile "
+                        "time when the f32 rows are already recorded; "
+                        "program tables MERGE across runs)")
     args = p.parse_args(argv)
 
     def merge_detail(update: dict) -> None:
@@ -603,50 +608,55 @@ def main(argv=None) -> None:
         return
 
     from tpupose.detectors import PoseDetector
-
-    img = load_test_image()
-    det = PoseDetector("posenet", precise=True)
-    # Calibrated output convs: the postprocess runs with realistic peak
-    # counts instead of a random net's empty maps (ADVICE r2).
     from tpupose.utils.calibrate import calibrate_output_convs
 
-    calibrate_output_convs(det, img)
-
-    # Warmup: compile every per-scale geometry + the postprocess.
-    for _ in range(args.warmup):
-        det(img)
+    img = load_test_image()
 
     if args.trace:
         from tpupose.utils.profiling import annotate, trace
 
-        det_fast = PoseDetector("posenet")
-        calibrate_output_convs(det_fast, img)
-        for _ in range(2):
-            det_fast(img)
-        # int8 (w8a8) twins: programs carry the poseq_* prefix so the
-        # trace separates them from the f32 rows
-        det_q = PoseDetector("posenet", precise=True)
-        calibrate_output_convs(det_q, img)
-        det_q.quantize(distinct_frames(img, 2))
-        det_fast_q = PoseDetector("posenet")
-        calibrate_output_convs(det_fast_q, img)
-        det_fast_q.quantize(distinct_frames(img, 2))
-        for _ in range(2):
-            det_q(img)
-            det_fast_q(img)
+        nets = {s.strip() for s in args.trace_nets.split(",") if s.strip()}
+        unknown = nets - {"f32", "quant"}
+        if unknown:
+            raise SystemExit(f"--trace-nets: unknown {sorted(unknown)}")
+        # (precise, fast) pairs; calibrated output convs so postprocess
+        # runs with realistic peak counts (ADVICE r2)
+        pairs = []  # (tag, precise_det, fast_det)
+        for tag in sorted(nets):
+            dp = PoseDetector("posenet", precise=True)
+            calibrate_output_convs(dp, img)
+            df = PoseDetector("posenet")
+            calibrate_output_convs(df, img)
+            if tag == "quant":
+                # int8 (w8a8) twins: programs carry the poseq_* prefix
+                # so the trace separates them from the f32 rows
+                dp.quantize(distinct_frames(img, 2))
+                df.quantize(distinct_frames(img, 2))
+            for _ in range(2):  # compile + settle
+                dp(img)
+                df(img)
+            pairs.append((tag, dp, df))
         with trace(args.trace):
             for i, frame in enumerate(distinct_frames(img, 4)):
-                with annotate(f"precise_frame_{i}"):
-                    det(frame)
-                with annotate(f"fast_frame_{i}"):
-                    det_fast(frame)
-                with annotate(f"quant_precise_frame_{i}"):
-                    det_q(frame)
-                with annotate(f"quant_fast_frame_{i}"):
-                    det_fast_q(frame)
+                for tag, dp, df in pairs:
+                    with annotate(f"{tag}_precise_frame_{i}"):
+                        dp(frame)
+                    with annotate(f"{tag}_fast_frame_{i}"):
+                        df(frame)
         times = parse_trace_module_times(args.trace)
+        # merge program tables across runs so a quant-only trace keeps
+        # the recorded f32 rows (and vice versa)
+        prev = {}
+        if os.path.exists(args.detail_out):
+            try:
+                with open(args.detail_out) as f:
+                    prev = json.load(f).get(
+                        "trace_device_times", {}).get("programs", {})
+            except (OSError, ValueError):
+                prev = {}
+        merged_programs = {**prev, **times}
         merge_detail({"trace_device_times": {
-            "programs": times,
+            "programs": merged_programs,
             "note": "AUTHORITATIVE per-program device times from the "
                     "jax.profiler xplane (4 serial frames each; module "
                     "clock is on-device). Chained-scan timing lets XLA "
@@ -656,6 +666,13 @@ def main(argv=None) -> None:
         print(json.dumps({"metric": "trace", "logdir": args.trace,
                           "programs": times}, indent=1))
         return
+
+    det = PoseDetector("posenet", precise=True)
+    calibrate_output_convs(det, img)
+
+    # Warmup: compile every per-scale geometry + the postprocess.
+    for _ in range(args.warmup):
+        det(img)
 
     # 5 windows: the tunnel's bandwidth swings 3-26 MB/s BETWEEN windows
     # and the driver samples the headline once — more windows = better

@@ -87,6 +87,38 @@ def make_cases(tiny: bool = False):
                 x = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
             return x
 
+        p = ks[0] // 2
+
+        def int8_chain_padvalid(x, k):
+            # what the shifted-zero-point pipeline does today: explicit
+            # nonzero-constant pad (cannot fold into the conv's padding
+            # config, so it materializes) + VALID conv
+            for _ in range(5):
+                xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)),
+                             constant_values=np.int8(-128))
+                y = lax.conv_general_dilated(
+                    xp, k, window_strides=(1, 1), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                y = jnp.maximum((y + jnp.float32(128.0)) / 600.0, 0.0)
+                x = jnp.clip(jnp.round(y) - 128.0, -128, 127
+                             ).astype(jnp.int8)
+            return x
+
+        def int8_chain_border(x, k, rowc, colc):
+            # proposed fix: SAME zero-pad conv on the shifted s8 tensor
+            # + broadcast border zero-point corrections (the interior
+            # z*S_o correction folds into the bias; rows/cols within
+            # k//2 of the edge need small deficit terms, precomputed
+            # from kernel marginals).  This measures the epilogue cost
+            # of the corrections; values here are placeholders.
+            for _ in range(5):
+                y = _conv(x, k, jnp.int32).astype(jnp.float32)
+                y = (y + rowc + colc) * jnp.float32(1.0 / 600)
+                y = jnp.maximum(y, 0.0)
+                x = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+            return x
+
         xb = xf.astype(jnp.bfloat16)
         kb = kf.astype(jnp.bfloat16)
         cases += [
@@ -95,6 +127,11 @@ def make_cases(tiny: bool = False):
             (f"{name}_s8requant", int8_requant_fn, (x8, k8)),
             (f"{name}_bf16chain5", bf16_chain, (xb, kb)),
             (f"{name}_s8chain5", int8_chain, (x8, k8)),
+            (f"{name}_s8padvalid5", int8_chain_padvalid, (x8, k8)),
+            (f"{name}_s8border5", int8_chain_border,
+             (x8, k8,
+              rng.randn(1, xs[1], 1, ks[3]).astype(np.float32),
+              rng.randn(1, 1, xs[2], ks[3]).astype(np.float32))),
         ]
     return cases
 

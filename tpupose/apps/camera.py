@@ -360,9 +360,10 @@ def main(argv=None):
                         "shift a pixel vs the f32 reference-parity path)")
     p.add_argument("--quant", action="store_true",
                    help="w8a8 int8 network compute (tpupose/quant.py), "
-                        "calibrated on the first frame; runs the MXU at "
-                        "its 2x int8 rate at the cost of small map "
-                        "shifts vs the f32 reference-parity path")
+                        "calibrated on the first frame; halves weight "
+                        "HBM/upload at the cost of small map shifts vs "
+                        "the f32 reference-parity path (no v5e latency "
+                        "win — BASELINE.md round 3)")
     p.add_argument("--nms-mode", choices=("scipy", "conv"), default="scipy",
                    help="pose mode: peak NMS semantics — 'scipy' = the "
                         "reference CPU path (golden-image parity target), "

@@ -96,8 +96,9 @@ def main(argv=None):
     p.add_argument("--quant", action="store_true",
                    help="w8a8 int8 inference for all three nets "
                         "(tpupose/quant.py), calibrated on the input "
-                        "image; runs the MXU at its 2x int8 rate at the "
-                        "cost of small map shifts vs the f32 parity path")
+                        "image; halves weight HBM/upload at the cost of "
+                        "small map shifts vs the f32 parity path (no v5e "
+                        "latency win — BASELINE.md round 3)")
     args = p.parse_args(argv)
 
     import dataclasses
