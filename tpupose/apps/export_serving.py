@@ -50,15 +50,46 @@ def main(argv=None) -> None:
                         "instead of the fast path")
     p.add_argument("--batches", default="1,4,8",
                    help="crop nets: batched-forward sizes to export")
+    p.add_argument("--pose-batches", default="",
+                   help="posenet: comma list of batch sizes to ALSO "
+                        "export batched programs for, enabling "
+                        "ServingPoseDetector.detect_batch (empty = "
+                        "single-frame programs only)")
     p.add_argument("--tail-stride", type=int, default=8,
                    help="crop nets: tail-geometry rounding (see "
                         "CropKeypointDetector)")
+    p.add_argument("--quant", action="store_true",
+                   help="export a w8a8 int8 bundle (tpupose/quant.py): "
+                        "the detector is quantized before export, "
+                        "calibrated on the --calib images (pose net: "
+                        "serving frames; crop nets: face/hand crops). "
+                        "Note: trace-measured SLOWER than f32 on the v5e "
+                        "(BASELINE.md 'int8 (w8a8) on the v5e'); the win "
+                        "is halved weight HBM/upload")
+    p.add_argument("--calib",
+                   help="--quant: comma-separated image paths for "
+                        "activation-range calibration (required with "
+                        "--quant)")
     args = p.parse_args(argv)
 
     import dataclasses
 
     platforms = tuple(args.platforms.split(","))
     sizes = parse_sizes(args.sizes)
+
+    calib_imgs = None
+    if args.quant:
+        import cv2
+
+        if not args.calib:
+            raise SystemExit("--quant requires --calib img1,img2,... "
+                             "(serving-representative calibration images)")
+        calib_imgs = []
+        for path in args.calib.split(","):
+            img = cv2.imread(path)
+            if img is None:
+                raise SystemExit(f"--calib: cannot read {path!r}")
+            calib_imgs += [img, img[:, ::-1]]
 
     if args.arch == "posenet":
         from tpupose.config import INFERENCE
@@ -73,8 +104,15 @@ def main(argv=None) -> None:
             cfg = dataclasses.replace(cfg, **overrides)
         det = PoseDetector(args.arch, weights_file=args.weights, cfg=cfg,
                            precise=args.precise)
-        save_bundle(det, args.out, sizes, platforms=platforms)
+        if calib_imgs is not None:
+            det.quantize(calib_imgs)
+        pose_batches = tuple(int(b) for b in args.pose_batches.split(",")
+                             if b.strip())
+        save_bundle(det, args.out, sizes, platforms=platforms,
+                    batch_sizes=pose_batches)
         mode = "precise" if args.precise else "fast"
+        if calib_imgs is not None:
+            mode += "+w8a8"
     else:
         from tpupose.config import FACE, HAND
         from tpupose.detectors.crop_keypoints import CropKeypointDetector
@@ -85,11 +123,15 @@ def main(argv=None) -> None:
             cfg = dataclasses.replace(cfg, img_size=args.img_size)
         det = CropKeypointDetector(args.arch, weights_file=args.weights,
                                    cfg=cfg, tail_stride=args.tail_stride)
+        if calib_imgs is not None:
+            det.quantize(calib_imgs)
         batches = tuple(int(b) for b in args.batches.split(","))
         flips = (False, True) if args.arch == "handnet" else (False,)
         save_crop_bundle(det, args.out, sizes, batch_sizes=batches,
                          flips=flips, platforms=platforms)
         mode = "crop"
+        if calib_imgs is not None:
+            mode += "+w8a8"
     print(f"wrote bundle: {args.out} ({len(sizes)} geometries, "
           f"{mode} mode, platforms {args.platforms})")
 

@@ -22,6 +22,9 @@ Layout of a bundle directory::
     fast_<H>x<W>.jexp            fast-path program per image size, or
     precise_<H>x<W>_scale<k>.jexp + precise_<H>x<W>_avg.jexp  (precise), or
     crop_forward_b<B>.jexp + crop_tail_<H>x<W>_f<0|1>.jexp    (crop nets)
+    fast_<H>x<W>_b<B>.jexp / precise_<H>x<W>_b<B>_*.jexp      (batched,
+                                 when exported with batch_sizes — enables
+                                 ServingPoseDetector.detect_batch)
 
 Note on Pallas: the fast-path peak finder auto-selects a Pallas kernel only
 on a TPU backend above ~256² map area (`ops.peaks.find_peaks`); a
@@ -69,7 +72,8 @@ def _geometry(cfg: InferenceConfig, orig_h: int, orig_w: int):
 
 def save_bundle(det: PoseDetector, path: str,
                 image_sizes: List[Tuple[int, int]],
-                platforms: Tuple[str, ...] = ("cpu", "tpu")) -> None:
+                platforms: Tuple[str, ...] = ("cpu", "tpu"),
+                batch_sizes: Tuple[int, ...] = ()) -> None:
     """AOT-export ``det``'s serving programs for each (orig_h, orig_w)
     image size and write a self-contained bundle to ``path``.
 
@@ -77,7 +81,12 @@ def save_bundle(det: PoseDetector, path: str,
     export the device-pyramid per-scale programs plus the cross-scale
     average+postprocess program (one original-image upload per frame at
     serve time, like the live detector).  Quantized (w8a8) detectors
-    export their int8 programs + tree the same way."""
+    export their int8 programs + tree the same way.
+
+    ``batch_sizes``: additionally export batched programs per geometry,
+    enabling ``ServingPoseDetector.detect_batch`` (larger batches chunk
+    over the largest exported size, padding the last chunk) — serving
+    parity with the live detector's batched path (VERDICT r3 #4)."""
     if det.precise and not det.cfg.device_pyramid:
         raise ValueError(
             "precise serving bundles require cfg.device_pyramid=True (the "
@@ -88,6 +97,11 @@ def save_bundle(det: PoseDetector, path: str,
             "export with cfg.fuse_small_scales=False — the fused pair "
             "changes small-scale border values, and bundles pin exact "
             "serving semantics")
+    if batch_sizes and det.mesh is not None:
+        raise ValueError(
+            "export batched programs from a mesh-less detector — the "
+            "meshed batched programs embed GSPMD shardings that would pin "
+            "the bundle to one mesh shape")
     os.makedirs(path, exist_ok=True)
     host_vars = jax.device_get(det.variables)
     params_dtype = _save_params(path, host_vars)
@@ -126,6 +140,33 @@ def save_bundle(det: PoseDetector, path: str,
                 "avg_program": write(avg, f"precise_{key}_avg.jexp"),
                 "post_hw": list(post_hw),
             }
+            batched: Dict[str, dict] = {}
+            for b in batch_sizes:
+                bimg_spec = jax.ShapeDtypeStruct(
+                    (b, orig_h, orig_w, 3), jnp.uint8)
+                bscale_files = []
+                for k, (scale, scaled_hw, padded_hw) in enumerate(
+                        det._pyramid_geometries(orig_h, orig_w)):
+                    fn = det._batch_scale_fn(b, post_hw, scaled_hw,
+                                             padded_hw)
+                    exported = jax.export.export(
+                        fn, platforms=list(platforms))(var_specs, bimg_spec)
+                    bscale_files.append(write(
+                        exported, f"precise_{key}_b{b}_scale{k}.jexp"))
+                bpaf = [jax.ShapeDtypeStruct(
+                    (b, post_hw[0], post_hw[1], 38), jnp.float32)] * n
+                bhm = [jax.ShapeDtypeStruct(
+                    (b, post_hw[0], post_hw[1], 19), jnp.float32)] * n
+                bavg = jax.export.export(
+                    det._batch_avg_postprocess_fn(post_hw, n, b),
+                    platforms=list(platforms))(bpaf, bhm)
+                batched[str(b)] = {
+                    "scale_programs": bscale_files,
+                    "avg_program": write(
+                        bavg, f"precise_{key}_b{b}_avg.jexp"),
+                }
+            if batched:
+                geoms[key]["batched"] = batched
         else:
             in_hw, map_hw = _geometry(det.cfg, orig_h, orig_w)
             fn = det._fast_fn(in_hw, map_hw)
@@ -136,6 +177,17 @@ def save_bundle(det: PoseDetector, path: str,
             geoms[key] = {
                 "program": write(exported, f"fast_{key}.jexp"),
                 "in_hw": list(in_hw), "map_hw": list(map_hw)}
+            batched = {}
+            for b in batch_sizes:
+                bimg_spec = jax.ShapeDtypeStruct(
+                    (b, in_hw[0], in_hw[1], 3), jnp.uint8)
+                exported = jax.export.export(
+                    det._batch_fn(b, in_hw, map_hw),
+                    platforms=list(platforms))(var_specs, bimg_spec)
+                batched[str(b)] = {
+                    "program": write(exported, f"fast_{key}_b{b}.jexp")}
+            if batched:
+                geoms[key]["batched"] = batched
 
     meta = {
         "arch": det.arch,
@@ -219,10 +271,11 @@ def _program_loader(path: str):
 class ServingPoseDetector:
     """Runs a saved bundle: deserialized AOT programs + committed params.
 
-    API-compatible with ``PoseDetector`` for the fast path
-    (``__call__(img) -> (poses, scores)``) but never touches the model
-    definition — only the geometries exported into the bundle are
-    servable."""
+    API-compatible with ``PoseDetector`` (``__call__``, the
+    ``submit``/``collect`` streaming pipeline, and — when the bundle was
+    exported with ``batch_sizes`` — ``detect_batch``) but never touches
+    the model definition; only the geometries exported into the bundle
+    are servable."""
 
     def __init__(self, path: str):
         with open(os.path.join(path, _META)) as f:
@@ -237,31 +290,52 @@ class ServingPoseDetector:
         self.variables = _load_params_committed(path, meta)
         load = _program_loader(path)
         self._by_size: Dict[Tuple[int, int], tuple] = {}
+        self._batched: Dict[Tuple[int, int], Dict[int, tuple]] = {}
         for key, g in meta["geometries"].items():
             h, w = (int(t) for t in key.split("x"))
             if self.mode == "precise":
                 self._by_size[(h, w)] = (
                     [load(n) for n in g["scale_programs"]],
                     load(g["avg_program"]), tuple(g["post_hw"]))
+                self._batched[(h, w)] = {
+                    int(b): ([load(n) for n in bg["scale_programs"]],
+                             load(bg["avg_program"]))
+                    for b, bg in g.get("batched", {}).items()}
             else:
                 self._by_size[(h, w)] = (
                     load(g["program"]), tuple(g["in_hw"]),
                     tuple(g["map_hw"]))
+                self._batched[(h, w)] = {
+                    int(b): (load(bg["program"]),)
+                    for b, bg in g.get("batched", {}).items()}
         self._warned_saturation = False
 
     @property
     def image_sizes(self) -> List[Tuple[int, int]]:
         return sorted(self._by_size)
 
-    def __call__(self, orig_img: np.ndarray):
-        import cv2
+    def batch_sizes(self, image_size: Tuple[int, int]) -> List[int]:
+        """Batched-program sizes exported for an image size ([] = none)."""
+        return sorted(self._batched.get(tuple(image_size), {}))
 
-        orig_h, orig_w = orig_img.shape[:2]
+    def _entry(self, orig_h: int, orig_w: int):
         entry = self._by_size.get((orig_h, orig_w))
         if entry is None:
             raise ValueError(
                 f"no program exported for image size {(orig_h, orig_w)}; "
                 f"bundle serves {self.image_sizes}")
+        return entry
+
+    def submit(self, orig_img: np.ndarray):
+        """Dispatch one frame WITHOUT blocking; returns a pending handle
+        for :meth:`collect` — the same streaming-pipeline API as the live
+        ``PoseDetector`` (the exported ``.call``s dispatch asynchronously;
+        only ``collect`` forces the device->host transfer), so a bundle
+        drives the camera loop at live-detector throughput."""
+        import cv2
+
+        orig_h, orig_w = orig_img.shape[:2]
+        entry = self._entry(orig_h, orig_w)
         if self.mode == "precise":
             scale_programs, avg_program, post_hw = entry
             orig_dev = jnp.asarray(orig_img)
@@ -274,10 +348,68 @@ class ServingPoseDetector:
             exported, in_hw, map_hw = entry
             resized = cv2.resize(orig_img, (in_hw[1], in_hw[0]))
             result = exported.call(self.variables, jnp.asarray(resized))
+        return (result, orig_w / map_hw[1], orig_h / map_hw[0])
+
+    def collect(self, pending):
+        """Block on a ``submit`` handle and return (poses, scores)."""
+        result, scale_x, scale_y = pending
         poses, scores, self._warned_saturation = emit_result(
-            result, orig_w / map_hw[1], orig_h / map_hw[0],
-            warned=self._warned_saturation)
+            result, scale_x, scale_y, warned=self._warned_saturation)
         return poses, scores
+
+    def __call__(self, orig_img: np.ndarray):
+        return self.collect(self.submit(orig_img))
+
+    def detect_batch(self, imgs: np.ndarray):
+        """Batched inference over same-sized frames via the bundle's
+        exported batched programs (``save_bundle(..., batch_sizes=...)``);
+        larger batches chunk over the largest exported size, padding the
+        last chunk with repeats (exact: per-sample outputs are
+        independent).  Mirrors ``PoseDetector.detect_batch``."""
+        import cv2
+
+        imgs = np.asarray(imgs)
+        n_total, orig_h, orig_w = imgs.shape[:3]
+        programs = self._batched.get((orig_h, orig_w))
+        if not programs:
+            raise ValueError(
+                f"no batched programs exported for image size "
+                f"{(orig_h, orig_w)}; re-export with "
+                f"save_bundle(..., batch_sizes=...) or use submit/collect")
+        entry = self._entry(orig_h, orig_w)
+        cap = max(programs)
+        out = []
+        for i in range(0, n_total, cap):
+            chunk = imgs[i:i + cap]
+            n_real = len(chunk)
+            b = next(bb for bb in sorted(programs) if bb >= n_real)
+            if n_real < b:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], b - n_real, axis=0)])
+            if self.mode == "precise":
+                scale_programs, avg_program = programs[b]
+                post_hw = entry[2]
+                dev = jnp.asarray(chunk)
+                maps = [p.call(self.variables, dev)
+                        for p in scale_programs]
+                results = jax.device_get(avg_program.call(
+                    [m[0] for m in maps], [m[1] for m in maps]))
+                map_hw = post_hw
+            else:
+                (exported,) = programs[b]
+                in_hw, map_hw = entry[1], entry[2]
+                resized = np.stack([cv2.resize(f, (in_hw[1], in_hw[0]))
+                                    for f in chunk])
+                results = jax.device_get(
+                    exported.call(self.variables, jnp.asarray(resized)))
+            for j in range(n_real):
+                frame_result = jax.tree_util.tree_map(
+                    lambda a: a[j], results)
+                poses, scores, self._warned_saturation = emit_result(
+                    frame_result, orig_w / map_hw[1], orig_h / map_hw[0],
+                    warned=self._warned_saturation)
+                out.append((poses, scores))
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -391,9 +523,15 @@ class ServingCropDetector:
         return self.detect_crops([crop], [flip])[0]
 
     def detect_crops(self, crops, flips=None):
-        import cv2
+        return self.collect_crops(self.submit_crops(crops, flips))
 
-        from tpupose.detectors.crop_keypoints import CropKeypointDetector
+    def submit_crops(self, crops, flips=None):
+        """Dispatch the batched forwards + per-crop tails WITHOUT blocking
+        — returns a pending handle for :meth:`collect_crops`, mirroring
+        the live ``CropKeypointDetector`` streaming API (the exported
+        ``.call``s dispatch asynchronously; only ``collect_crops`` forces
+        the device->host transfer)."""
+        import cv2
 
         if not crops:
             return []
@@ -423,8 +561,12 @@ class ServingCropDetector:
                     [chunk, np.repeat(chunk[-1:], b - len(chunk), axis=0)])
             out = self._forwards[b].call(self.variables, jnp.asarray(chunk))
             heatmaps.extend(out[:min(cap, len(prepped) - i)])
-        results = []
-        for hm, (tail, scale) in zip(heatmaps, tails):
-            results.append(CropKeypointDetector._to_keypoints(
-                tail.call(hm), scale=scale))
-        return results
+        return [(tail.call(hm), scale)
+                for hm, (tail, scale) in zip(heatmaps, tails)]
+
+    def collect_crops(self, pending):
+        """Block on a ``submit_crops`` handle; keypoint lists per crop."""
+        from tpupose.detectors.crop_keypoints import CropKeypointDetector
+
+        return [CropKeypointDetector._to_keypoints(outputs, scale=scale)
+                for outputs, scale in pending]
