@@ -11,21 +11,24 @@ Scheme (chosen so every step fuses into the conv epilogue under XLA):
 
 - **Weights**: symmetric per-output-channel int8
   (``ws_o = max|W[..., o]| / 127``).
-- **Activations**: 8-bit with a *shifted* zero point where the data is
-  non-negative (post-ReLU): ``v = a * (X + 128)`` with ``X`` int8, so the
-  full 0..255 range is used instead of wasting the sign bit.  Tensors
-  that mix signs (the stage-head outputs entering each refinement
-  concat) use symmetric ``v = a * X``.
-- **Zero-point correction is exact and constant**: SAME padding would
-  make the correction spatially varying at the borders, so inputs are
-  pre-padded with the value representing ``v = 0`` (``X = -128`` for
-  shifted tensors, ``0`` for symmetric) and the conv runs VALID.  Then
-  ``conv(v, W) = a_in * ws_o * (conv_s32(X, Wq) + z_in * S_o)`` with
-  ``S_o = sum(Wq[..., o])`` a per-channel constant, folded with the bias
-  into one f32 multiply-add on the s32 accumulator.
-- **Input layer is lossless**: the preprocess is ``u8/255 - 0.5``
-  (``detectors/pose.py:44``), i.e. ``v = (u8 - 127.5)/255`` — exactly
-  representable as ``X = u8 - 128`` with ``a = 1/255, z = 0.5``; the
+- **Activations**: symmetric int8, ``v = a * X`` with ``a = range/127``.
+  Post-ReLU tensors occupy [0, 127] (one sign bit unused — numerically
+  the SAME quantum the round-3 shifted scheme used, which also set
+  ``a = range/127``); stage-head outputs (mixed signs) span the full
+  signed range.  Zero zero-point everywhere means the conv's native
+  SAME zero padding represents ``v = 0`` EXACTLY — no explicit pad, no
+  border corrections.  (The round-3 shifted-zero-point scheme needed an
+  explicit ``X = -128`` pad + VALID conv, which ``scripts/int8_probe.py``
+  measured 1.5-2.4x slower than the SAME zero-pad chain at the dominant
+  shapes — it single-handedly erased int8's 2x MXU rate.  Border strip
+  corrections were also measured and rejected: ``.at[].add`` slice
+  epilogues materialize full-tensor copies, ``scripts/strip_probe.py``.)
+- **Input layer is near-lossless**: the preprocess is ``u8/255 - 0.5``
+  (``detectors/pose.py:44``), i.e. ``v = (u8 - 127.5)/255`` —
+  represented as ``X = u8 - 128`` with ``a = 1/255, z = 0.5``; the
+  ``z * S_o`` correction folds into the bias, and the conv's zero pad
+  is off by ``a*z`` (half an input LSB) on border taps — the identical
+  acceptance the round-3 explicit pad made (``round(-0.5) = 0``).  The
   crop nets' ``u8/256 - 0.5`` is the exactly-symmetric ``(1/256, 0)``.
 - **Heads stay f32**: the per-stage output convs (``conv5_5_CPM*`` /
   ``Mconv7*``, no ReLU) dequantize their s32 accumulator to f32, so the
@@ -33,6 +36,11 @@ Scheme (chosen so every step fuses into the conv epilogue under XLA):
 
 Calibration runs the f32 model with ``capture_intermediates`` over a few
 representative frames and takes per-tensor max-abs ranges.
+
+Measured on the v5e (``scripts/int8_probe.py``/``u8_probe.py``, xplane
+trace): SAME zero-pad s8 conv chains run 1.3-1.9x FASTER than bf16 at
+the pipeline's dominant shapes (7x7 128ch refine, 3x3 stem) — the int8
+MXU path is real once the pad is native.
 
 Accuracy is validated against the f32 pipeline on calibrated synthetic
 scenes (``tests/test_quant.py``); with no COCO data or released weights
@@ -190,7 +198,7 @@ def _layer_spec(params, module: str, layer: str,
     bias = np.asarray(conv["bias"], np.float32)
     assert sum(n for _, _, n in groups) == kernel.shape[2], (
         module, layer, groups, kernel.shape)
-    kqs, mults, pad_vals, splits = [], [], [], []
+    kqs, mults, splits = [], [], []
     bias_eff = (bias if a_out is None else bias / a_out).astype(np.float64)
     start = 0
     for a_in, z_in, n in groups:
@@ -199,13 +207,13 @@ def _layer_spec(params, module: str, layer: str,
         kq, ws = _quantize_kernel(part)
         s_o = kq.astype(np.int64).sum(axis=(0, 1, 2)).astype(np.float64)
         mult = a_in * ws if a_out is None else a_in * ws / a_out
+        # z_in is 0 everywhere except the image layer's 0.5 (see module
+        # docstring); the constant z*S_o correction folds into the bias
+        # (the conv's SAME zero pad leaves border taps short by a*z per
+        # padded tap — half an input LSB, only ever on the image layer).
         bias_eff = bias_eff + z_in * s_o * mult
         kqs.append(kq)
         mults.append(mult.astype(np.float32))
-        # padding must represent v = 0, i.e. X = -z_in; for the image
-        # layer (z = 0.5) the nearest integer 0 pads with v = a/2
-        # ~ 0.002 — below the u8 input's own quantum.
-        pad_vals.append(int(np.clip(np.round(-z_in), -128, 127)))
         splits.append(int(n))
     return {
         "kernel_q": tuple(kqs),
@@ -214,7 +222,6 @@ def _layer_spec(params, module: str, layer: str,
         "meta": {
             "ksize": int(kernel.shape[0]),
             "relu": bool(relu),
-            "pad_vals": tuple(pad_vals),
             "splits": tuple(splits),
             "f32_out": a_out is None,
         },
@@ -262,26 +269,26 @@ def quantize(arch: str, variables, ranges: Dict[str, float],
         meta[path] = spec.pop("meta")
         qlayers[path] = spec
 
-    # stem: input layer is the lossless image quant — X = u8 - 128 (see
-    # ``input_quant`` above)
+    # stem: input layer is the near-lossless image quant — X = u8 - 128
+    # (see ``input_quant`` above); every later tensor is symmetric (z=0)
     a_in, z_in = input_quant
     for name, _pool in graph.stem:
         a_out = a_of(f"stem/{name}")
         n_in = int(params["stem"][name]["conv"]["kernel"].shape[2])
         add("stem", name, [(a_in, z_in, n_in)], relu=True, a_out=a_out)
-        a_in, z_in = a_out, 128.0
-    a_feat = a_in  # shifted scale of the stem feature map
+        a_in, z_in = a_out, 0.0
+    a_feat = a_in  # symmetric scale of the stem feature map
     feat_ch = out_channels("stem", graph.stem[-1][0])
 
     num_stages = graph.num_stages
     for stage in range(1, num_stages + 1):
         modules = graph.stage_modules(stage)
         if stage == 1:
-            in_groups = [(a_feat, 128.0, feat_ch)]
+            in_groups = [(a_feat, 0.0, feat_ch)]
         else:
             # concat(head_outputs..., feature): heads quantize
             # symmetric at their own scales, the feature arrives
-            # already-quantized (shifted) — no requantization loss
+            # already-quantized — no requantization loss
             prev = graph.stage_modules(stage - 1)
             head_as = tuple(a_of(p) for p in prev)
             part_scales[f"stage{stage}"] = tuple(
@@ -290,14 +297,14 @@ def quantize(arch: str, variables, ranges: Dict[str, float],
                 (a, 0.0, out_channels(p, graph.branch_layers(stage - 1,
                                                              p)[-1]))
                 for a, p in zip(head_as, prev)
-            ] + [(a_feat, 128.0, feat_ch)]
+            ] + [(a_feat, 0.0, feat_ch)]
         for module in modules:
             layers = graph.branch_layers(stage, module)
             groups = in_groups
             for layer in layers[:-1]:
                 a_out = a_of(f"{module}/{layer}")
                 add(module, layer, groups, relu=True, a_out=a_out)
-                groups = [(a_out, 128.0, out_channels(module, layer))]
+                groups = [(a_out, 0.0, out_channels(module, layer))]
             add(module, layers[-1], groups, relu=False, a_out=None)
 
     qtree = {
@@ -337,17 +344,13 @@ def _qconv(parts, spec, meta):
     """One quantized conv layer: tuple of s8 NHWC input groups (the
     refine-stage concat members; 1-tuple everywhere else) -> s8 (or f32
     head) out.  Each group runs its own s8xs8->s32 accumulation (same
-    total MACs as the concatenated conv) and the f32 epilogue combines
-    them with the folded scales/zero-corrections/bias."""
-    p = meta["ksize"] // 2
+    total MACs as the concatenated conv) with the conv's NATIVE SAME
+    zero padding (exact: zero-points are 0 — see module docstring), and
+    the f32 epilogue combines them with the folded scales/bias."""
     y = None
-    for xq, kq, mult, pad_val in zip(parts, spec["kernel_q"],
-                                     spec["mult"], meta["pad_vals"]):
-        if p:
-            xq = jnp.pad(xq, ((0, 0), (p, p), (p, p), (0, 0)),
-                         constant_values=np.int8(pad_val))
+    for xq, kq, mult in zip(parts, spec["kernel_q"], spec["mult"]):
         acc = lax.conv_general_dilated(
-            xq, kq, window_strides=(1, 1), padding="VALID",
+            xq, kq, window_strides=(1, 1), padding="SAME",
             dimension_numbers=_DN, preferred_element_type=jnp.int32)
         part = acc.astype(jnp.float32) * mult
         y = part if y is None else y + part
@@ -356,8 +359,9 @@ def _qconv(parts, spec, meta):
         return y
     if meta["relu"]:
         y = jnp.maximum(y, 0.0)
-    # shifted 8-bit store: v = a_out * (X + 128), X in [-128, 127]
-    return (jnp.clip(jnp.round(y), 0.0, 255.0) - 128.0).astype(jnp.int8)
+    # symmetric store in output-scale units (a_out = range/127): ReLU
+    # outputs occupy [0, 127] — the same quantum the shifted scheme had
+    return jnp.clip(jnp.round(y), 0.0, 127.0).astype(jnp.int8)
 
 
 def _max_pool_s8(x):
@@ -387,7 +391,7 @@ def quant_apply(static: QuantStatic, qtree, x):
         xq = run("stem", name, (xq,))
         if pool:
             xq = _max_pool_s8(xq)
-    feat_q = xq  # shifted, scale folded into every consumer's mult
+    feat_q = xq  # symmetric; scale folded into every consumer's mult
 
     graph = ARCH_GRAPHS[static.arch]
     heads: List[List[jnp.ndarray]] = []  # per stage: [h1(, h2)]
