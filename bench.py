@@ -478,6 +478,8 @@ def train_breakdown(n: int = 8, windows: int = 3,
         for leaf in jax.tree_util.tree_leaves(jax.device_get(x)):
             np.asarray(leaf)
 
+    from tpupose.train.trainer import loss_for_batch
+
     out = {"config": {"batch": B, "insize": S}}
     for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         model = ARCHS["posenet"](dtype=dtype)
@@ -504,6 +506,62 @@ def train_breakdown(n: int = 8, windows: int = 3,
             row["mfu_vs_v5e_bf16_peak"] = round(
                 flops / best / V5E_BF16_PEAK_FLOPS, 4)
         row["ref_300k_schedule_hours"] = round(best * 300_000 / 3600, 1)
+
+        # Component attribution (VERDICT r3 #8: where does the step's MFU
+        # gap vs the ~55% forward go?): forward-only loss, forward+backward
+        # (grad), and optimizer update measured as separate chained-device
+        # programs.  step - grad - update ~ 0 pins the floor; a large
+        # (grad - 3x fwd-flops-scaled) residual would finger the backward.
+        params0 = state.params
+
+        def fwd_body(carry, params, b):
+            total, _ = loss_for_batch(
+                model, params,
+                TrainBatch(imgs=b.imgs, poses=b.poses + carry,
+                           ignore_mask=b.ignore_mask), cfg)
+            return total
+
+        def grad_body(carry, params, b):
+            return jax.grad(
+                lambda p: loss_for_batch(
+                    model, p,
+                    TrainBatch(imgs=b.imgs, poses=b.poses + carry,
+                               ignore_mask=b.ignore_mask), cfg)[0])(params)
+
+        fwd_per, _ = _chained_time(fwd_body, (params0, batch), n=6)
+        grad_per, _ = _chained_time(grad_body, (params0, batch), n=6)
+
+        grads0 = jax.jit(jax.grad(
+            lambda p: loss_for_batch(model, p, batch, cfg)[0]))(params0)
+
+        def update_body(carry, grads, opt_state, params):
+            g = jax.tree_util.tree_map(
+                lambda a: a + carry.astype(a.dtype), grads)
+            updates, new_opt = tx.update(g, opt_state, params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: (p + u).astype(p.dtype), params, updates)
+            return new_params, new_opt
+
+        upd_per, _ = _chained_time(
+            update_body, (grads0, state.opt_state, params0), n=6)
+        fwd_flops = _program_flops(
+            jax.jit(lambda p, b: fwd_body(jnp.uint8(0), p, b)),
+            params0, batch)
+        comp = {
+            "forward_loss_ms": round(fwd_per * 1e3, 2),
+            "forward_backward_ms": round(grad_per * 1e3, 2),
+            "optimizer_update_ms": round(upd_per * 1e3, 2),
+            "residual_ms": round(
+                best * 1e3 - grad_per * 1e3 - upd_per * 1e3, 2),
+        }
+        if fwd_flops:
+            comp["forward_mfu"] = round(
+                fwd_flops / fwd_per / V5E_BF16_PEAK_FLOPS, 4)
+            if flops:
+                comp["backward_mfu"] = round(
+                    (flops - fwd_flops) / max(grad_per - fwd_per, 1e-9)
+                    / V5E_BF16_PEAK_FLOPS, 4)
+        row["components"] = comp
         out[name] = row
         del state, step
 

@@ -167,6 +167,21 @@ def compute_connections(pafs: jnp.ndarray, peaks: Peaks, img_len,
     # (L, HW, 2): one transpose up front so every limb's sample gather
     # pulls both PAF components per index (see score_candidates).
     paf_rows = pafs.reshape(num_limbs, 2, -1).transpose(0, 2, 1)
+    return compute_connections_from_rows(
+        paf_rows, hw, peaks, img_len, cfg, limbs_a, limbs_b)
+
+
+def compute_connections_from_rows(paf_rows: jnp.ndarray, hw, peaks: Peaks,
+                                  img_len, cfg: InferenceConfig,
+                                  limbs_a: jnp.ndarray,
+                                  limbs_b: jnp.ndarray) -> Connections:
+    """``compute_connections`` on pre-transposed sample rows.
+
+    paf_rows: (L, H*W, 2); hw: static (H, W).  Callers that already hold
+    the PAF in row layout (e.g. precise-mode scale tails emitting it
+    directly from the final resize einsum) skip the (2L, H, W) transpose
+    entirely — it is pure data movement at 584² that the cross-scale
+    averaging program otherwise re-materializes per frame."""
 
     def per_limb(rows, ja, jb):
         ax, ay = peaks.x[ja], peaks.y[ja]
