@@ -135,16 +135,25 @@ def calibrate_ranges(model, variables, frames_normalized) -> Dict[str, float]:
     calibration value, which keeps the quantized pipeline's synthetic
     parity tests deterministic.  Feed frames representative of serving
     data — the reference sample images work well.
+
+    The capture forward runs under ``jax.jit`` reducing ON DEVICE to the
+    per-tensor scalars: eager per-op dispatch through the remote-TPU
+    tunnel takes minutes for one 6-stage frame, and shipping every
+    intermediate map to host costs hundreds of MB at ~4-26 MB/s.
     """
-    ranges: Dict[str, float] = {}
-    for frame in frames_normalized:
-        x = jnp.asarray(frame)[None] if frame.ndim == 3 else jnp.asarray(frame)
+
+    @jax.jit
+    def capture_maxabs(x):
         _, inter = model.apply(variables, x, capture_intermediates=True,
                                mutable=["intermediates"])
         flat = _flatten_intermediates(inter["intermediates"])
-        for path, arr in flat.items():
-            m = float(jnp.max(jnp.abs(arr)))
-            ranges[path] = max(ranges.get(path, 0.0), m)
+        return {path: jnp.max(jnp.abs(arr)) for path, arr in flat.items()}
+
+    ranges: Dict[str, float] = {}
+    for frame in frames_normalized:
+        x = jnp.asarray(frame)[None] if frame.ndim == 3 else jnp.asarray(frame)
+        for path, m in jax.device_get(capture_maxabs(x)).items():
+            ranges[path] = max(ranges.get(path, 0.0), float(m))
     return ranges
 
 
