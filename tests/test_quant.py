@@ -289,6 +289,103 @@ class TestQuantApps:
         np.testing.assert_array_equal(det.calib[1], crops[0][:, ::-1])
 
 
+class TestQuantMixed:
+    """Mixed-precision quantization (``quantize(min_side=...)``): the
+    v5e-measured int8 crossover keeps sub-threshold pyramid scales on
+    the bit-exact f32 forward (BASELINE.md round 4 — 184px is 2.6x
+    SLOWER quantized while >=368px wins)."""
+
+    def _three_detectors(self, cfg, img):
+        det_f32 = PoseDetector("posenet", cfg=cfg, precise=True)
+        host = jax.device_get(det_f32.variables)
+        det_mix = PoseDetector("posenet", cfg=cfg, precise=True,
+                               params=host)
+        det_pure = PoseDetector("posenet", cfg=cfg, precise=True,
+                                params=host)
+        det_mix.quantize([img], min_side=48)  # 0.5 scale (32px) stays f32
+        det_pure.quantize([img], min_side=0)
+        return det_f32, det_mix, det_pure
+
+    def test_small_scale_is_bit_exact_f32_large_is_quantized(self):
+        rng = np.random.RandomState(10)
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        cfg = dataclasses.replace(SMALL_CFG, scales=(0.5, 1.0))
+        det_f32, det_mix, det_pure = self._three_detectors(cfg, img)
+
+        post_hw = det_f32._postprocess_hw(64, 64)
+        geoms = det_f32._pyramid_geometries(64, 64)
+        dev = jnp.asarray(img)
+
+        def scale_maps(det, k):
+            _, scaled, padded = geoms[k]
+            fn = det._device_scale_fn(post_hw, scaled, padded)
+            return jax.device_get(fn(det.variables, dev))
+
+        # sub-threshold scale: mixed == f32 BIT-EXACT, pure-quant differs
+        f_small = scale_maps(det_f32, 0)
+        m_small = scale_maps(det_mix, 0)
+        p_small = scale_maps(det_pure, 0)
+        for f, m in zip(f_small, m_small):
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(m))
+        assert any(np.abs(np.asarray(f) - np.asarray(p)).max() > 0
+                   for f, p in zip(f_small, p_small))
+
+        # above-threshold scale: mixed == pure-quant (same calibration,
+        # same int8 tree) and != f32
+        m_large = scale_maps(det_mix, 1)
+        p_large = scale_maps(det_pure, 1)
+        f_large = scale_maps(det_f32, 1)
+        for m, p in zip(m_large, p_large):
+            np.testing.assert_array_equal(np.asarray(m), np.asarray(p))
+        assert any(np.abs(np.asarray(m) - np.asarray(f)).max() > 0
+                   for m, f in zip(m_large, f_large))
+
+        # trace-name prefixes say which compute actually runs
+        assert det_mix._prefix_for((32, 32)) == "pose"
+        assert det_mix._prefix_for((64, 64)) == "poseq"
+        assert det_pure._prefix_for((32, 32)) == "poseq"
+
+        # the full mixed pipeline serves end to end
+        poses, scores = det_mix(img)
+        assert poses.shape[1:] == (18, 3)
+
+    def test_precise_default_uses_cfg_quant_min_side(self):
+        rng = np.random.RandomState(13)
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        cfg = dataclasses.replace(SMALL_CFG, scales=(0.5, 1.0),
+                                  quant_min_side=48)
+        det = PoseDetector("posenet", cfg=cfg, precise=True)
+        det.quantize([img])
+        assert det._quant_min_side == 48
+        assert "f32" in det.variables
+        # fast-path detectors default to pure int8 (geometry always
+        # above the crossover) — no f32 tree kept
+        det_fast = PoseDetector("posenet", cfg=cfg)
+        det_fast.quantize([img])
+        assert det_fast._quant_min_side == 0
+        assert "f32" not in det_fast.variables
+
+    def test_mixed_bundle_round_trips(self, tmp_path):
+        """A mixed-precision bundle carries BOTH trees; the loaded bundle
+        reproduces the live mixed detector exactly."""
+        from tpupose.serving import ServingPoseDetector, save_bundle
+
+        rng = np.random.RandomState(14)
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        cfg = dataclasses.replace(SMALL_CFG, scales=(0.5, 1.0))
+        det = PoseDetector("posenet", cfg=cfg, precise=True)
+        calibrate_output_convs(det, img)
+        det.quantize([img], min_side=48)
+        want_poses, want_scores = det(img)
+
+        path = str(tmp_path / "mixbundle")
+        save_bundle(det, path, [img.shape[:2]], platforms=("cpu",))
+        srv = ServingPoseDetector(path)
+        got_poses, got_scores = srv(img)
+        np.testing.assert_array_equal(got_poses, want_poses)
+        np.testing.assert_array_equal(got_scores, want_scores)
+
+
 class TestQuantMesh:
     def test_quantized_detect_batch_on_mesh_matches_meshless(self):
         """The int8 forward is plain XLA convs (no custom calls), so GSPMD

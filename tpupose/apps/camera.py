@@ -374,12 +374,13 @@ def main(argv=None):
     p.add_argument("--quant", action="store_true",
                    help="w8a8 int8 network compute (tpupose/quant.py); "
                         "pose mode calibrates on the first frame, face "
-                        "mode on the first located face crops. Halves "
-                        "weight HBM/upload at the cost of small map "
-                        "shifts vs the f32 reference-parity path — and "
-                        "on the v5e it is trace-measured SLOWER than f32 "
-                        "(worst 2.4x at the 184-px pyramid scale; "
-                        "BASELINE.md 'int8 (w8a8) on the v5e')")
+                        "mode on the first located face crops. v5e "
+                        "trace-measured 1.08-1.25x faster at >=368px "
+                        "forwards and halves weight HBM/upload, at the "
+                        "cost of small map shifts vs the f32 "
+                        "reference-parity path; sub-256px pyramid scales "
+                        "stay f32 (cfg.quant_min_side; BASELINE.md "
+                        "round 4 int8 section)")
     p.add_argument("--nms-mode", choices=("scipy", "conv"), default="scipy",
                    help="pose mode: peak NMS semantics — 'scipy' = the "
                         "reference CPU path (golden-image parity target), "

@@ -106,12 +106,13 @@ def main(argv=None):
                    help="w8a8 int8 inference for all three nets "
                         "(tpupose/quant.py); the pose net calibrates on "
                         "the input image, the crop nets on the actual "
-                        "face/hand crops the cascade derives. Halves "
-                        "weight HBM/upload at the cost of small map "
-                        "shifts vs the f32 parity path — and on the v5e "
-                        "it is trace-measured SLOWER than f32 (worst "
-                        "2.4x at the 184-px pyramid scale; BASELINE.md "
-                        "'int8 (w8a8) on the v5e')")
+                        "face/hand crops the cascade derives. v5e "
+                        "trace-measured 1.08-1.25x faster at >=368px "
+                        "forwards and halves weight HBM/upload, at the "
+                        "cost of small map shifts vs the f32 parity "
+                        "path; sub-256px pyramid scales stay f32 "
+                        "(cfg.quant_min_side; BASELINE.md round 4 int8 "
+                        "section)")
     args = p.parse_args(argv)
 
     import dataclasses

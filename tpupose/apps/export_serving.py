@@ -63,9 +63,17 @@ def main(argv=None) -> None:
                         "the detector is quantized before export, "
                         "calibrated on the --calib images (pose net: "
                         "serving frames; crop nets: face/hand crops). "
-                        "Note: trace-measured SLOWER than f32 on the v5e "
-                        "(BASELINE.md 'int8 (w8a8) on the v5e'); the win "
-                        "is halved weight HBM/upload")
+                        "v5e trace-measured (BASELINE.md round 4): int8 "
+                        "wins 1.08-1.25x at >=368px forwards; halves "
+                        "weight HBM/upload")
+    p.add_argument("--quant-min-side", type=int, default=None,
+                   help="--quant posenet: mixed-precision threshold — "
+                        "programs with network inputs below this stay "
+                        "f32 (the bundle then carries BOTH trees). "
+                        "Default: the detector's cfg.quant_min_side for "
+                        "--precise (the v5e-measured crossover keeps the "
+                        "184px pyramid scale f32), 0 (pure int8, lean "
+                        "bundle) for fast-path bundles")
     p.add_argument("--calib",
                    help="--quant: comma-separated image paths for "
                         "activation-range calibration (required with "
@@ -105,7 +113,7 @@ def main(argv=None) -> None:
         det = PoseDetector(args.arch, weights_file=args.weights, cfg=cfg,
                            precise=args.precise)
         if calib_imgs is not None:
-            det.quantize(calib_imgs)
+            det.quantize(calib_imgs, min_side=args.quant_min_side)
         pose_batches = tuple(int(b) for b in args.pose_batches.split(",")
                              if b.strip())
         save_bundle(det, args.out, sizes, platforms=platforms,

@@ -195,6 +195,15 @@ class InferenceConfig:
     # Mean RGB padding value used by precise-mode ``pad_image``
     # (ref ``pose_detector.py:445``).
     pad_value: Tuple[int, int, int] = (104, 117, 123)
+    # w8a8 mixed-precision threshold (no reference counterpart — the
+    # reference has no quantization): after ``PoseDetector.quantize()``,
+    # programs whose network input's short side is below this stay on the
+    # f32 forward.  v5e-measured (BASELINE.md round 4): the int8 path wins
+    # 1.08-1.25x at >=368px but XLA's requantize lowering is pathological
+    # at 184px (5.8 ms vs 2.2 f32 — 3.7 ms in clamp/convert fusions), so
+    # the default keeps the precise pyramid's 0.5 scale f32.  0 = quantize
+    # every geometry.
+    quant_min_side: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

@@ -141,6 +141,7 @@ class PoseDetector:
         # Late-binds self.model so tests may stub it after construction.
         self._apply = lambda variables, x: self.model.apply(variables, x)
         self.quantized = False
+        self._quant_min_side = 0
         # prefix of the self-describing XLA module names (profiler traces
         # map programs to pipeline stages by it; quantize() re-prefixes so
         # f32 and int8 programs stay distinguishable in one trace)
@@ -151,7 +152,8 @@ class PoseDetector:
         self._avg_fns: Dict[tuple, object] = {}
         self._warned_saturation = False
 
-    def quantize(self, calib_images, size: Optional[int] = None) -> None:
+    def quantize(self, calib_images, size: Optional[int] = None,
+                 min_side: Optional[int] = None) -> None:
         """Switch this detector to post-training w8a8 int8 inference.
 
         ``calib_images``: a few serving-representative HWC uint8 frames
@@ -159,7 +161,18 @@ class PoseDetector:
         ``tpupose/quant.py``).  All compiled programs are dropped and
         re-trace to the quantized forward; postprocess, geometry, and
         APIs are unchanged.  New capability beyond the reference (no
-        quantization support in ``/root/reference``)."""
+        quantization support in ``/root/reference``).
+
+        ``min_side``: mixed-precision threshold — programs whose network
+        input's short side is below it keep the bit-exact f32 forward
+        (the f32 tree stays resident next to the int8 one; jit prunes
+        whichever subtree a program doesn't read, so per-program dispatch
+        cost is unchanged).  Default: ``cfg.quant_min_side`` for precise
+        detectors (the v5e-measured int8 win/loss crossover — the
+        precise pyramid's 184px scale is 2.6x SLOWER quantized while
+        >=368px is 1.08-1.25x faster, BASELINE.md round 4); 0 (quantize
+        everything, no f32 tree kept) for fast-path detectors, whose
+        ~368px geometry is always above the crossover."""
         import cv2
 
         from tpupose.quant import (calibrate_ranges, make_quant_apply,
@@ -167,6 +180,8 @@ class PoseDetector:
 
         if self.quantized:
             raise ValueError("detector is already quantized")
+        if min_side is None:
+            min_side = self.cfg.quant_min_side if self.precise else 0
         size = size or self.cfg.img_size
         frames = np.stack([
             cv2.resize(np.asarray(img), (size, size))
@@ -174,13 +189,44 @@ class PoseDetector:
         ranges = calibrate_ranges(self.model, self.variables,
                                   preprocess_u8(jnp.asarray(frames)))
         qtree, static = quantize(self.arch, self.variables, ranges)
+        quant_apply = make_quant_apply(static)
+        if min_side:
+            # Mixed tree: the int8 layers plus the full f32 params under
+            # "f32".  One pytree keeps every call site / serving-bundle
+            # path oblivious; programs read exactly one subtree and jit
+            # drops the other from their signatures.  The f32 leaves are
+            # already committed device arrays — re-commit is a no-op, NOT
+            # a tunnel round-trip.
+            qtree["f32"] = self.variables
+            model = self.model
+
+            def mixed_apply(variables, x):
+                # x's shape is static at trace time: each program picks
+                # its forward once, at trace — no device-side branch.
+                if min(x.shape[1], x.shape[2]) >= min_side:
+                    return quant_apply(variables, x)
+                return model.apply(variables["f32"], x)
+
+            self._apply = mixed_apply
+        else:
+            self._apply = quant_apply
         self.variables = commit_variables(qtree, mesh=self.mesh)
-        self._apply = make_quant_apply(static)
         self.quantized = True
+        self._quant_min_side = min_side
         self._program_prefix = "poseq"
         self._fast_fns.clear()
         self._scale_fns.clear()
         self._avg_fns.clear()
+
+    def _prefix_for(self, forward_hw: Tuple[int, int]) -> str:
+        """Trace-name prefix for a program whose network forward runs at
+        ``forward_hw``: mixed-quantized detectors keep sub-``min_side``
+        geometries on the f32 forward, and the self-describing XLA module
+        names must say which compute actually runs."""
+        if (self.quantized and self._quant_min_side
+                and min(forward_hw) < self._quant_min_side):
+            return "pose"
+        return self._program_prefix
 
     # ------------------------------------------------------------------
     # fast single-scale path (ref ``pose_detector.py:484-517``)
@@ -213,7 +259,7 @@ class PoseDetector:
                 return self._fast_traced(variables, img_u8, map_hw)
 
             # self-describing XLA module name in profiler traces
-            fn.__name__ = (f"{self._program_prefix}_fast_"
+            fn.__name__ = (f"{self._prefix_for(in_hw)}_fast_"
                            f"{in_hw[0]}x{in_hw[1]}")
             self._fast_fns[key] = jax.jit(fn)
         return self._fast_fns[key]
@@ -525,7 +571,7 @@ class PoseDetector:
                     orig_hw)
                 return paf[0], hm[0]
 
-            fn.__name__ = (f"{self._program_prefix}_scale_"
+            fn.__name__ = (f"{self._prefix_for(padded_hw)}_scale_"
                            f"{scaled_hw[0]}x{scaled_hw[1]}")
             self._scale_fns[key] = jax.jit(fn)
         return self._scale_fns[key]
