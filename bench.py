@@ -514,10 +514,14 @@ def train_breakdown(n: int = 8, windows: int = 3,
         # (grad - 3x fwd-flops-scaled) residual would finger the backward.
         params0 = state.params
 
+        # carry must perturb IMGS, not poses: the model forward depends
+        # only on (params, imgs), so a poses-only perturbation lets XLA
+        # hoist the entire forward out of the chained scan and the "fwd"
+        # row measures just the GT render + loss (observed: 0.34 ms).
         def fwd_body(carry, params, b):
             total, _ = loss_for_batch(
                 model, params,
-                TrainBatch(imgs=b.imgs, poses=b.poses + carry,
+                TrainBatch(imgs=b.imgs + carry, poses=b.poses,
                            ignore_mask=b.ignore_mask), cfg)
             return total
 
@@ -525,7 +529,7 @@ def train_breakdown(n: int = 8, windows: int = 3,
             return jax.grad(
                 lambda p: loss_for_batch(
                     model, p,
-                    TrainBatch(imgs=b.imgs, poses=b.poses + carry,
+                    TrainBatch(imgs=b.imgs + carry, poses=b.poses,
                                ignore_mask=b.ignore_mask), cfg)[0])(params)
 
         fwd_per, _ = _chained_time(fwd_body, (params0, batch), n=6)

@@ -49,7 +49,18 @@ class ConvReLU(nn.Module):
 
 
 def max_pool_2x2(x):
-    """2x2/stride-2 max pooling (ref ``models/CocoPoseNet.py:138,141,146``)."""
+    """2x2/stride-2 max pooling (ref ``models/CocoPoseNet.py:138,141,146``).
+
+    Plain ``nn.max_pool``: its backward lowers to ``select_and_scatter``,
+    which looks like the classic slow-on-TPU op (2.61 ms of the 93 ms
+    reference-config train step) but trace-measurements show XLA's
+    lowering BEATS both hand-written replacements for the non-overlapping
+    2x2 window — argmax-over-flattened-window routing cost +7.4 ms (the
+    window transposes materialize) and a transpose-free first-max
+    comparison-mask stack cost +5.2 ms (the stacks lower to pads+copies).
+    See BASELINE.md round-4 train section; don't re-litigate without a
+    Pallas kernel that provably hits the ~0.8 ms bandwidth floor.
+    """
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
 
