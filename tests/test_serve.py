@@ -1,0 +1,270 @@
+"""HTTP serving front-end (`tpupose/apps/serve.py`).
+
+New capability beyond the reference (which has no serving story —
+`pose_detector.py:16-35` re-instantiates the model inside every demo
+process). These tests run a real ThreadingHTTPServer on an ephemeral
+port in-process and drive it with the module's own client helpers, so
+the full request path — decode, submit/collect pipelining, JSON reply —
+is exercised against both live detectors and AOT bundles.
+"""
+
+import json
+import threading
+from urllib.error import HTTPError
+from urllib.request import Request, urlopen
+
+import numpy as np
+import pytest
+
+from test_eval_apps import SMALL_CFG, _stub_pose_detector  # noqa: E402,F401
+
+from tpupose.apps.serve import (  # noqa: E402
+    detect_crops_over_http,
+    detect_over_http,
+    make_server,
+)
+
+CV2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture
+def served():
+    """Start a server for a detector; yields (url_factory)."""
+    servers = []
+
+    def start(detector):
+        server = make_server(detector, port=0)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        servers.append((server, t))
+        host, port = server.server_address[:2]
+        return f"http://{host}:{port}"
+
+    yield start
+    for server, t in servers:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=5)
+
+
+def _frame(seed, hw=(92, 124)):
+    return np.random.RandomState(seed).randint(
+        0, 255, (*hw, 3), dtype=np.uint8)
+
+
+class TestPoseServe:
+    def test_healthz(self, served):
+        det = _stub_pose_detector()
+        url = served(det)
+        with urlopen(url + "/healthz", timeout=30) as resp:
+            info = json.loads(resp.read())
+        assert info["status"] == "ok"
+        assert info["kind"] == "pose"
+        assert info["mode"] == "fast"
+
+    def test_detect_raw_matches_direct(self, served):
+        det = _stub_pose_detector()
+        img = _frame(0)
+        want_poses, want_scores = det(img)
+        url = served(det)
+        got_poses, got_scores = detect_over_http(url, img, raw=True)
+        np.testing.assert_allclose(got_poses, want_poses, rtol=1e-6)
+        np.testing.assert_allclose(got_scores, want_scores, rtol=1e-6)
+
+    def test_detect_png_matches_direct(self, served):
+        det = _stub_pose_detector()
+        img = _frame(1)
+        want_poses, _ = det(img)
+        url = served(det)
+        got_poses, _ = detect_over_http(url, img, raw=False)
+        np.testing.assert_allclose(got_poses, want_poses, rtol=1e-6)
+
+    def test_concurrent_requests_keep_frame_alignment(self, served):
+        """Distinct frames through parallel clients: each reply must match
+        its own frame's direct result (the stub perturbs scores by frame
+        content, so crossed replies fail loudly)."""
+        det = _stub_pose_detector()
+        frames = [_frame(s) for s in range(6)]
+        want = [det(f) for f in frames]
+        url = served(det)
+
+        got = [None] * len(frames)
+        errs = []
+
+        def worker(i):
+            try:
+                got[i] = detect_over_http(url, frames[i])
+            except Exception as e:  # noqa: BLE001 — reraised below
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(frames))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errs, errs
+        for (gp, gs), (wp, ws) in zip(got, want):
+            np.testing.assert_allclose(gp, wp, rtol=1e-6)
+            np.testing.assert_allclose(gs, ws, rtol=1e-6)
+
+    def test_bad_raw_shape_is_400(self, served):
+        url = served(_stub_pose_detector())
+        body = b"\x00" * 16
+        req = Request(url + "/v1/detect", data=body, method="POST",
+                      headers={"Content-Type": "application/octet-stream",
+                               "X-Image-Shape": "4x4x3"})
+        with pytest.raises(HTTPError) as ei:
+            urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        assert "bytes" in json.loads(ei.value.read())["error"]
+
+    def test_missing_shape_header_is_400(self, served):
+        url = served(_stub_pose_detector())
+        req = Request(url + "/v1/detect", data=b"abc", method="POST",
+                      headers={"Content-Type": "application/octet-stream"})
+        with pytest.raises(HTTPError) as ei:
+            urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+    def test_unknown_endpoint_is_404(self, served):
+        url = served(_stub_pose_detector())
+        with pytest.raises(HTTPError) as ei:
+            urlopen(url + "/nope", timeout=30)
+        assert ei.value.code == 404
+
+    def test_undecodable_image_is_400(self, served):
+        url = served(_stub_pose_detector())
+        req = Request(url + "/v1/detect", data=b"not a png",
+                      headers={"Content-Type": "image/png"}, method="POST")
+        with pytest.raises(HTTPError) as ei:
+            urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+
+class TestBundleServe:
+    """Same endpoints over an AOT jax.export bundle — no model code."""
+
+    def test_bundle_matches_live(self, served, tmp_path):
+        from tpupose.serving import ServingPoseDetector, save_bundle
+
+        det = _stub_pose_detector()
+        img = _frame(2)
+        want_poses, want_scores = det(img)
+        assert len(want_poses), "stub must detect people"
+
+        path = str(tmp_path / "bundle")
+        save_bundle(det, path, [img.shape[:2]], platforms=("cpu",))
+        url = served(ServingPoseDetector(path))
+
+        with urlopen(url + "/healthz", timeout=30) as resp:
+            info = json.loads(resp.read())
+        assert [92, 124] in info["image_sizes"]
+
+        got_poses, got_scores = detect_over_http(url, img)
+        np.testing.assert_allclose(got_poses, want_poses, rtol=1e-6)
+        np.testing.assert_allclose(got_scores, want_scores, rtol=1e-6)
+
+    def test_unknown_geometry_is_400(self, served, tmp_path):
+        from tpupose.serving import ServingPoseDetector, save_bundle
+
+        det = _stub_pose_detector()
+        path = str(tmp_path / "bundle")
+        save_bundle(det, path, [(92, 124)], platforms=("cpu",))
+        url = served(ServingPoseDetector(path))
+        with pytest.raises(HTTPError) as ei:
+            detect_over_http(url, _frame(0, hw=(60, 80)))
+        assert ei.value.code == 400
+        assert "bundle serves" in json.loads(ei.value.read())["error"]
+
+
+class TestCropServe:
+    def _det(self, arch="facenet"):
+        from tpupose.config import FaceConfig, HandConfig
+        from tpupose.detectors.crop_keypoints import CropKeypointDetector
+
+        cfg = (FaceConfig(img_size=64) if arch == "facenet"
+               else HandConfig(img_size=64))
+        return CropKeypointDetector(arch, cfg=cfg, tail_stride=8)
+
+    def test_crops_match_direct(self, served):
+        det = self._det("facenet")
+        rng = np.random.RandomState(0)
+        crops = [rng.randint(0, 255, (56, 48, 3), dtype=np.uint8)
+                 for _ in range(3)]
+        want = det.detect_crops(crops)
+        url = served(det)
+
+        with urlopen(url + "/healthz", timeout=30) as resp:
+            assert json.loads(resp.read())["kind"] == "crop"
+
+        got = detect_crops_over_http(url, crops)
+        assert got == want
+
+    def test_hand_flips_match_direct(self, served):
+        det = self._det("handnet")
+        rng = np.random.RandomState(1)
+        crops = [rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+                 for _ in range(2)]
+        flips = [True, False]
+        want = det.detect_crops(crops, flips)
+        url = served(det)
+        got = detect_crops_over_http(url, crops, flips)
+        assert got == want
+
+    def test_flip_count_mismatch_is_400(self, served):
+        url = served(self._det("handnet"))
+        crops = np.zeros((2, 64, 64, 3), np.uint8)
+        req = Request(
+            url + "/v1/detect_crops", data=crops.tobytes(), method="POST",
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Image-Shape": "2x64x64x3", "X-Flips": "1"})
+        with pytest.raises(HTTPError) as ei:
+            urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+    def test_pose_endpoint_on_crop_service_is_400(self, served):
+        url = served(self._det("facenet"))
+        crops = np.zeros((1, 64, 64, 3), np.uint8)
+        req = Request(
+            url + "/v1/detect", data=crops.tobytes(), method="POST",
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Image-Shape": "1x64x64x3"})
+        with pytest.raises(HTTPError) as ei:
+            urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+
+class TestLoadDetector:
+    """CLI model-loading dispatch (bundle dir vs npz path)."""
+
+    def test_bundle_dir_roundtrip(self, tmp_path):
+        import argparse
+
+        from tpupose.apps.serve import _load_detector
+        from tpupose.serving import ServingPoseDetector, save_bundle
+
+        det = _stub_pose_detector()
+        path = str(tmp_path / "bundle")
+        save_bundle(det, path, [(92, 124)], platforms=("cpu",))
+        ns = argparse.Namespace(model=path, arch="posenet", precise=False)
+        loaded = _load_detector(ns)
+        assert isinstance(loaded, ServingPoseDetector)
+
+    def test_crop_bundle_dir(self, tmp_path):
+        import argparse
+
+        from tpupose.apps.serve import _load_detector
+        from tpupose.serving import ServingCropDetector, save_crop_bundle
+
+        from tpupose.config import FaceConfig
+        from tpupose.detectors.crop_keypoints import CropKeypointDetector
+
+        det = CropKeypointDetector(
+            "facenet", cfg=FaceConfig(img_size=64), tail_stride=8)
+        path = str(tmp_path / "bundle")
+        save_crop_bundle(det, path, [(56, 48)], batch_sizes=(1,),
+                         flips=(False,), platforms=("cpu",))
+        ns = argparse.Namespace(model=path, arch="facenet", precise=False)
+        loaded = _load_detector(ns)
+        assert isinstance(loaded, ServingCropDetector)
