@@ -197,6 +197,11 @@ def _layer_spec(params, module: str, layer: str,
     shared concat scale would starve the small member to a few levels),
     so the first refine conv runs one s32 accumulation per group and
     combines them in f32.  Single-input layers are the 1-group case.
+    (The alternative — folding per-group scales into the weights and
+    running ONE 185-channel s8 conv — was trace-measured NO faster on
+    the v5e, the 552px scale even 0.2 ms slower, and coarsens the weight
+    scales:
+    BASELINE.md "int8 concat formulation".  Keep per-group.)
 
     ``a_out=None`` -> f32 output (head).  Folded epilogue:
     ``y = sum_g acc_g * mult_g + bias_eff`` in output-scale units (real
