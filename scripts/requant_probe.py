@@ -57,7 +57,7 @@ def make_cases(tiny: bool = False, depth: int = 5):
     ]
     if tiny:  # correctness smoke on a slow CPU, not a measurement
         shapes = [("refine7x7_8_16", (1, 8, 8, 16), (7, 7, 16, 16))]
-    interpret = tiny and jax.default_backend() != "tpu"
+    interpret = jax.default_backend() != "tpu"
     cases = []
     for name, xs, ks in shapes:
         xf = rng.randn(*xs).astype(np.float32)
@@ -109,7 +109,8 @@ def main():
                     help="comma substrings: only matching case names")
     ap.add_argument("--skip-parity", action="store_true",
                     help="skip the (slow remote-compile) parity pass — "
-                         "covered by tests/test_quant.py interpret parity")
+                         "covered by tests/test_quant.py::TestPallasRequant "
+                         "interpret-mode parity")
     args = ap.parse_args()
 
     cases = make_cases(tiny=args.tiny, depth=args.depth)

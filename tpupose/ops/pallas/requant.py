@@ -29,7 +29,7 @@ code (same policy as ``blur_nms.py``).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,11 +67,13 @@ def _pad_rows(n: int) -> int:
 
 
 def use_for_grid(h: int, w: int) -> bool:
-    """Heuristic: Pallas wins only where XLA's clamp_convert lowering is
-    pathological — small, sublane-unaligned grids (the 184px pyramid
-    scale's 23x23/46x46 stage maps).  Measured crossover in
-    ``scripts/requant_probe.py``; above ~64x64 XLA's fused epilogue is
-    already at memory speed."""
+    """Heuristic: Pallas is only considered where XLA's clamp_convert
+    lowering is the suspected pathology — small grids (the 184px pyramid
+    scale's 23x23/46x46 stage maps, where round-4 op attribution charged
+    3.7 of 5.8 ms to epilogues).  Above ~64x64 XLA's fused epilogue is
+    already at memory speed (0.20 ms/program at 368px geometry).  The
+    threshold is validated per-chain by ``scripts/requant_probe.py``;
+    measured v5e numbers live in BASELINE.md (round 5)."""
     return h * w <= 64 * 64
 
 
@@ -80,7 +82,7 @@ def requant_epilogue(accs: Sequence[jnp.ndarray],
                      bias: jnp.ndarray,
                      relu: bool,
                      lo: float = 0.0,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fused quantize epilogue: ``clip(round(max(sum_g accs[g]*mults[g]
     + bias, 0)), lo, 127).astype(int8)`` (the ``max`` only if ``relu``).
 
@@ -88,7 +90,12 @@ def requant_epilogue(accs: Sequence[jnp.ndarray],
     f32; bias: (C,) f32.  Returns (B, H, W, C) int8.  Semantics are
     bit-identical to the XLA expression in ``quant.py::_qconv`` (same
     round-half-even, same clip bounds).
+
+    ``interpret=None`` auto-selects interpreter mode off-TPU (the
+    ``ops/peaks.py`` pattern), so CPU tests run the same code path.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, h, w, c = accs[0].shape
     rows = b * h * w
     prows = _pad_rows(rows)

@@ -361,9 +361,8 @@ def _pallas_requant_here(shape, n_groups: int) -> bool:
     pyramid scale's 23x23/46x46 stage maps cost 3.7 ms/program in
     epilogues, BASELINE.md round 4) — and only whole-array VMEM fits."""
     from tpupose.ops.pallas.requant import fits_vmem, use_for_grid
-    b, h, w, _ = shape
-    return (use_for_grid(h, w, jax.default_backend())
-            and fits_vmem(shape, n_groups))
+    _, h, w, _ = shape
+    return use_for_grid(h, w) and fits_vmem(shape, n_groups)
 
 
 def _qconv(parts, spec, meta, pallas_requant: bool = False):
