@@ -9,6 +9,13 @@ AP within 0.5 of the reference).
 Usage:
   python -m tpupose.apps.evaluate --coco_dir /data/coco \
       --weights coco_posenet.npz [--precise] [--n_samples 100] [--out eval.json]
+
+``--bucketed`` (recommended for full val2017) routes every image through
+a fixed canvas palette (``detectors/bucketed.py``) so total TPU compiles
+are bounded by the palette size (~9/mode) instead of one program set per
+distinct image geometry — val2017 has thousands.  The per-size exact
+path (default) stays available for golden parity and small sweeps; the
+bucketed-vs-exact pose deltas are pinned in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -83,6 +90,12 @@ def main(argv=None):
     p.add_argument("--weights", help="coco_posenet.npz")
     p.add_argument("--precise", action="store_true")
     p.add_argument("--n_samples", type=int, default=None)
+    p.add_argument("--bucketed", action="store_true",
+                   help="bound TPU compiles: run every image on a fixed "
+                        "canvas palette (required in practice for full "
+                        "val2017 — thousands of distinct geometries)")
+    p.add_argument("--canvas_long", type=int, default=640,
+                   help="bucketed canvas long side (COCO max side)")
     p.add_argument("--out", help="write metrics + results JSON here")
     args = p.parse_args(argv)
 
@@ -94,6 +107,11 @@ def main(argv=None):
         n_samples=args.n_samples)
     detector = PoseDetector("posenet", weights_file=args.weights,
                             precise=args.precise)
+    if args.bucketed:
+        from tpupose.detectors import BucketedPoseDetector, canvas_palette
+
+        detector = BucketedPoseDetector(
+            detector, canvases=canvas_palette(args.canvas_long))
 
     metrics, results = evaluate_detector(detector, dataset)
     for k, v in metrics.items():

@@ -14,6 +14,11 @@ from tpupose.detectors.draw import (
     draw_hand_keypoints,
     draw_person_pose,
 )
+from tpupose.detectors.bucketed import (
+    BucketedPoseDetector,
+    best_canvas,
+    canvas_palette,
+)
 from tpupose.detectors.face import FaceDetector
 from tpupose.detectors.hand import HandDetector
 from tpupose.detectors.pose import PoseDetector
