@@ -17,6 +17,12 @@ geometries:
 Times come from the jax.profiler xplane — the only trustworthy
 per-program instrument on this box (CLAUDE.md device-timing rules).
 
+RESULT (2026-08-20, v5e): NEGATIVE — parity at the refine shapes
+(0.436 vs 0.429 ms), 20-22x SLOWER at the stem shapes, and the aligned
+control matches the unaligned case, so misalignment was not the cost.
+Full table + analysis in BASELINE.md (round 5); the product integration
+was removed, the kernel kept as the recorded negative result.
+
 Usage: python scripts/requant_probe.py [--tiny] [--trace-dir DIR]
 """
 

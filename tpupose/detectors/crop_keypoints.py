@@ -72,22 +72,13 @@ class CropKeypointDetector:
         # by ``quantize()`` for the w8a8 int8-MXU forward (tpupose/quant.py).
         # Late-binds self.model so tests may stub it after construction.
         self._apply = lambda variables, x: self.model.apply(variables, x)
-        # Export-portable twin (no Pallas custom calls) — see
-        # ``detectors/portable.py``; diverges only after ``quantize()``
-        # enables the fused Pallas requant epilogue.
-        self._apply_portable = self._apply
         self.quantized = False
         self._fns: Dict[tuple, object] = {}
 
-    def quantize(self, calib_crops,
-                 pallas_requant: Optional[bool] = None) -> None:
+    def quantize(self, calib_crops) -> None:
         """Switch to post-training w8a8 int8 inference (see
         ``PoseDetector.quantize`` / ``tpupose/quant.py``).  ``calib_crops``:
-        a few representative HWC uint8 crops (any same size).
-
-        ``pallas_requant``: fused Pallas requant epilogue on small grids
-        (default: only on a TPU backend — see ``PoseDetector.quantize``);
-        exports always trace the portable forward."""
+        a few representative HWC uint8 crops (any same size)."""
         import cv2
 
         from tpupose.quant import (calibrate_ranges, make_quant_apply,
@@ -101,23 +92,13 @@ class CropKeypointDetector:
         normalized = jnp.asarray(frames).astype(jnp.float32) / 256.0 - 0.5
         ranges = calibrate_ranges(self.model, self.variables, normalized)
         qtree, static = quantize(self.arch, self.variables, ranges)
-        if pallas_requant is None:
-            pallas_requant = jax.default_backend() == "tpu"
         self.variables = commit_variables(qtree)
-        self._apply_portable = make_quant_apply(static)
-        self._apply = (make_quant_apply(static, pallas_requant=True)
-                       if pallas_requant else self._apply_portable)
+        self._apply = make_quant_apply(static)
         self.quantized = True
         self._clear_program_caches()
 
     def _clear_program_caches(self) -> None:
         self._fns.clear()
-
-    def portable_programs(self):
-        """Export-portability swap — see ``detectors/portable.py``."""
-        from tpupose.detectors.portable import portable_programs
-
-        return portable_programs(self)
 
     # ------------------------------------------------------------------
 

@@ -140,12 +140,6 @@ class PoseDetector:
         # by ``quantize()`` for the w8a8 int8-MXU forward (tpupose/quant.py).
         # Late-binds self.model so tests may stub it after construction.
         self._apply = lambda variables, x: self.model.apply(variables, x)
-        # Export-portable twin of ``_apply``: identical semantics but free
-        # of Pallas custom calls, so ``jax.export`` bundles stay
-        # multi-platform (``serving.py`` swaps to it via
-        # ``portable_programs``).  Diverges from ``_apply`` only when
-        # ``quantize()`` enables the fused Pallas requant epilogue.
-        self._apply_portable = self._apply
         self.quantized = False
         self._quant_min_side = 0
         # prefix of the self-describing XLA module names (profiler traces
@@ -159,8 +153,7 @@ class PoseDetector:
         self._warned_saturation = False
 
     def quantize(self, calib_images, size: Optional[int] = None,
-                 min_side: Optional[int] = None,
-                 pallas_requant: Optional[bool] = None) -> None:
+                 min_side: Optional[int] = None) -> None:
         """Switch this detector to post-training w8a8 int8 inference.
 
         ``calib_images``: a few serving-representative HWC uint8 frames
@@ -177,18 +170,13 @@ class PoseDetector:
         cost is unchanged).  Default: ``cfg.quant_min_side`` for precise
         detectors (the v5e-measured int8 win/loss crossover — the
         precise pyramid's 184px scale is 2.6x SLOWER quantized while
-        >=368px is 1.08-1.25x faster, BASELINE.md round 4); 0 (quantize
-        everything, no f32 tree kept) for fast-path detectors, whose
-        ~368px geometry is always above the crossover.
-
-        ``pallas_requant``: run small sublane-unaligned grids through the
-        fused Pallas requantize epilogue (``ops/pallas/requant.py`` —
-        bit-identical to the XLA epilogue; per-layer auto heuristic).
-        Default ``None`` enables it only on a mesh-less TPU backend:
-        GSPMD cannot auto-partition Pallas custom calls, and off-TPU the
-        interpreter-mode kernel is correct but slow.  The exported
-        programs (``serving.py``) always trace the portable (XLA-only)
-        forward regardless — see ``portable_programs``."""
+        >=368px is 1.08-1.25x faster, BASELINE.md round 4; a Pallas
+        requant epilogue built to close that 184px gap measured out a
+        kernel-level negative result — BASELINE.md round 5,
+        ``ops/pallas/requant.py`` — so mixed precision IS the shipped
+        answer); 0 (quantize everything, no f32 tree kept) for
+        fast-path detectors, whose ~368px geometry is always above the
+        crossover."""
         import cv2
 
         from tpupose.quant import (calibrate_ranges, make_quant_apply,
@@ -205,12 +193,7 @@ class PoseDetector:
         ranges = calibrate_ranges(self.model, self.variables,
                                   preprocess_u8(jnp.asarray(frames)))
         qtree, static = quantize(self.arch, self.variables, ranges)
-        if pallas_requant is None:
-            pallas_requant = (jax.default_backend() == "tpu"
-                              and self.mesh is None)
-        quant_apply_portable = make_quant_apply(static)
-        quant_apply = (make_quant_apply(static, pallas_requant=True)
-                       if pallas_requant else quant_apply_portable)
+        quant_apply = make_quant_apply(static)
         if min_side:
             # Mixed tree: the int8 layers plus the full f32 params under
             # "f32".  One pytree keeps every call site / serving-bundle
@@ -221,24 +204,16 @@ class PoseDetector:
             qtree["f32"] = self.variables
             model = self.model
 
-            def make_mixed(qapply):
-                def mixed_apply(variables, x):
-                    # x's shape is static at trace time: each program
-                    # picks its forward once, at trace — no device-side
-                    # branch.
-                    if min(x.shape[1], x.shape[2]) >= min_side:
-                        return qapply(variables, x)
-                    return model.apply(variables["f32"], x)
+            def mixed_apply(variables, x):
+                # x's shape is static at trace time: each program picks
+                # its forward once, at trace — no device-side branch.
+                if min(x.shape[1], x.shape[2]) >= min_side:
+                    return quant_apply(variables, x)
+                return model.apply(variables["f32"], x)
 
-                return mixed_apply
-
-            self._apply = make_mixed(quant_apply)
-            self._apply_portable = (
-                self._apply if quant_apply is quant_apply_portable
-                else make_mixed(quant_apply_portable))
+            self._apply = mixed_apply
         else:
             self._apply = quant_apply
-            self._apply_portable = quant_apply_portable
         self.variables = commit_variables(qtree, mesh=self.mesh)
         self.quantized = True
         self._quant_min_side = min_side
@@ -249,16 +224,6 @@ class PoseDetector:
         self._fast_fns.clear()
         self._scale_fns.clear()
         self._avg_fns.clear()
-
-    def portable_programs(self):
-        """Context manager: temporarily route every traced body through
-        the export-portable forward (no Pallas custom calls), so
-        ``jax.export`` bundles stay multi-platform even when the live
-        detector runs the fused Pallas requant epilogue
-        (``detectors/portable.py``)."""
-        from tpupose.detectors.portable import portable_programs
-
-        return portable_programs(self)
 
     def _prefix_for(self, forward_hw: Tuple[int, int]) -> str:
         """Trace-name prefix for a program whose network forward runs at

@@ -1,35 +1,43 @@
-"""Pallas TPU kernel: fused w8a8 requantize epilogue.
+"""Pallas TPU kernel: fused w8a8 requantize epilogue — **measured
+negative result; NOT wired into the product** (kept, with its probe and
+parity test, as the recorded evidence per the repo's negative-result
+convention, like ``ops/paf.py::_from_rows``).
 
-The quantized forward's per-layer epilogue (``tpupose/quant.py::_qconv``:
-s32 accumulator -> f32 scale -> bias -> ReLU -> round -> clip -> s8) is a
-trivial elementwise chain, but XLA's ``clamp_convert`` fusion of it is
-pathological on sublane-unaligned grids: at the pyramid's 184px scale the
-stage convs run on 23x23 maps and ``scripts/op_breakdown.py`` attributed
-**3.7 of that program's 5.8 ms** to these epilogues — 18x the 368px
-program's cost on 4x less data (BASELINE.md round-4 int8 section).  The
-int8 min tile is (32, 128); 23x23 = 529 flattened rows defeats the
-vectorizer.
+Motivation (round 4): the quantized forward's per-layer epilogue
+(``tpupose/quant.py::_qconv``: s32 accumulator -> f32 scale -> bias ->
+ReLU -> round -> clip -> s8) looked pathological on sublane-unaligned
+grids — at the pyramid's 184px scale the stage convs run on 23x23 maps
+and ``scripts/op_breakdown.py`` attributed 3.7 of that program's 5.8 ms
+to ``clamp_convert`` fusions.  This kernel does the whole epilogue in
+one VMEM pass with rows padded to the s8 sublane multiple (32) so every
+store is aligned; multi-group layers (the refine stages' concat
+members) sum their scaled parts in-kernel.
 
-This kernel does the whole epilogue in one VMEM pass per layer.  The
-wrapper flattens (B, H, W, C) -> (BHW, C) and pads rows up to the s8
-sublane multiple (32) so every store is aligned; the pad is a tiny s32
-copy XLA fuses into the conv's output write.  Multi-group layers (the
-refine stages' concat members, ``quant.py::_layer_spec``) pass all
-accumulators and per-group scale rows; the kernel sums the scaled parts
-so no intermediate ever round-trips HBM.
+Verdict (round 5, v5e, ``scripts/requant_probe.py`` xplane times,
+depth-5 conv+epilogue chains at the 184px program's real geometries —
+full table in BASELINE.md round 5):
 
-Only worth it where XLA's lowering is the pathology: the auto heuristic
-(``use_for_grid``) selects maps below ~64x64, where the epilogue cost is
-lowering-bound, not bandwidth-bound (at >=368px geometry XLA's fused
-epilogues already run at memory speed — 0.20 ms/program).
+* refine 7x7 128ch @ 23x23: Pallas 0.436 ms vs XLA 0.429 — parity.
+* stem 3x3 256ch @ 46x46: 1.199 vs 0.054 — Pallas **22x slower**.
+* stem 3x3 512ch @ 23x23: 1.206 vs 0.060 — **20x slower**.
+* aligned 7x7 128ch @ 32x32 control: 0.742 vs 0.728 — parity (so
+  sublane misalignment was NOT the recoverable cost).
 
-Falls back to interpreter mode off-TPU so CPU tests exercise the same
-code (same policy as ``blur_nms.py``).
+The bf16 twin of the refine chain runs 0.126 ms vs int8's 0.429: the
+small-grid slowness travels with the int8 7x7 conv itself, not the
+epilogue lowering — no epilogue implementation can reclaim it.  Mixed
+precision (``InferenceConfig.quant_min_side``) remains the shipped
+answer for the 184px scale; the product path is pure-XLA
+(``quant.py::_qconv``), which also keeps exports portable and GSPMD
+auto-partitioning intact.
+
+Falls back to interpreter mode off-TPU so the CPU parity test exercises
+the same code (same policy as ``blur_nms.py``).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,9 +47,6 @@ from jax.experimental.pallas import tpu as pltpu
 # s8 min tile is (32, 128): pad flattened rows to this multiple so the
 # int8 store is always sublane-aligned (the whole point of the kernel).
 _ROW_ALIGN = 32
-# whole-array blocks: keep padded bytes under a conservative VMEM cap;
-# above it, fall back to XLA (large grids are not the pathology anyway).
-_VMEM_CAP_BYTES = 8 * 1024 * 1024
 
 
 def _make_kernel(n_groups: int, relu: bool, lo: float):
@@ -64,17 +69,6 @@ def _make_kernel(n_groups: int, relu: bool, lo: float):
 
 def _pad_rows(n: int) -> int:
     return -(-n // _ROW_ALIGN) * _ROW_ALIGN
-
-
-def use_for_grid(h: int, w: int) -> bool:
-    """Heuristic: Pallas is only considered where XLA's clamp_convert
-    lowering is the suspected pathology — small grids (the 184px pyramid
-    scale's 23x23/46x46 stage maps, where round-4 op attribution charged
-    3.7 of 5.8 ms to epilogues).  Above ~64x64 XLA's fused epilogue is
-    already at memory speed (0.20 ms/program at 368px geometry).  The
-    threshold is validated per-chain by ``scripts/requant_probe.py``;
-    measured v5e numbers live in BASELINE.md (round 5)."""
-    return h * w <= 64 * 64
 
 
 def requant_epilogue(accs: Sequence[jnp.ndarray],
@@ -113,11 +107,3 @@ def requant_epilogue(accs: Sequence[jnp.ndarray],
         interpret=interpret,
     )(*flat, mult, bias2)
     return out[:rows].reshape(b, h, w, c)
-
-
-def fits_vmem(shape: Tuple[int, int, int, int], n_groups: int) -> bool:
-    """Whole-array single-block budget check (s32 inputs + s8 out)."""
-    b, h, w, c = shape
-    prows = _pad_rows(b * h * w)
-    lanes = -(-c // 128) * 128
-    return prows * lanes * (4 * n_groups + 1) <= _VMEM_CAP_BYTES

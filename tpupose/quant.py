@@ -354,38 +354,24 @@ class QuantStatic:
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _pallas_requant_here(shape, n_groups: int) -> bool:
-    """Per-layer auto heuristic for the fused Pallas requantize epilogue
-    (``ops/pallas/requant.py``): only small, sublane-unaligned grids —
-    where XLA's ``clamp_convert`` lowering is pathological (the 184px
-    pyramid scale's 23x23/46x46 stage maps cost 3.7 ms/program in
-    epilogues, BASELINE.md round 4) — and only whole-array VMEM fits."""
-    from tpupose.ops.pallas.requant import fits_vmem, use_for_grid
-    _, h, w, _ = shape
-    return use_for_grid(h, w) and fits_vmem(shape, n_groups)
-
-
-def _qconv(parts, spec, meta, pallas_requant: bool = False):
+def _qconv(parts, spec, meta):
     """One quantized conv layer: tuple of s8 NHWC input groups (the
     refine-stage concat members; 1-tuple everywhere else) -> s8 (or f32
     head) out.  Each group runs its own s8xs8->s32 accumulation (same
     total MACs as the concatenated conv) with the conv's NATIVE SAME
     zero padding (exact: zero-points are 0 — see module docstring), and
-    the epilogue combines them with the folded scales/bias — fused in
-    XLA, or (``pallas_requant`` + small grids) via the bit-identical
-    Pallas kernel that sidesteps XLA's pathological unaligned
-    ``clamp_convert`` lowering."""
+    the XLA-fused epilogue combines them with the folded scales/bias.
+    A fused Pallas requantize epilogue was built, measured, and
+    REJECTED: parity-at-best on the refine shapes and ~20x slower on
+    the stem shapes the grid heuristic would also have caught —
+    ``ops/pallas/requant.py`` (kernel kept as the recorded negative
+    result), BASELINE.md round 5."""
     accs = [
         lax.conv_general_dilated(
             xq, kq, window_strides=(1, 1), padding="SAME",
             dimension_numbers=_DN, preferred_element_type=jnp.int32)
         for xq, kq in zip(parts, spec["kernel_q"])
     ]
-    if (pallas_requant and not meta["f32_out"]
-            and _pallas_requant_here(accs[0].shape, len(accs))):
-        from tpupose.ops.pallas.requant import requant_epilogue
-        return requant_epilogue(accs, spec["mult"], spec["bias_eff"],
-                                relu=meta["relu"])
     y = None
     for acc, mult in zip(accs, spec["mult"]):
         part = acc.astype(jnp.float32) * mult
@@ -409,23 +395,18 @@ def _quant_sym(x_f32, a_to):
     return jnp.clip(jnp.round(x_f32 / a_to), -128.0, 127.0).astype(jnp.int8)
 
 
-def quant_apply(static: QuantStatic, qtree, x,
-                pallas_requant: bool = False):
+def quant_apply(static: QuantStatic, qtree, x):
     """Quantized forward matching ``model.apply(variables, x)``:
     normalized f32 (B, H, W, 3) in, stacked per-stage f32 maps out —
     ``(pafs, heatmaps)`` for two-branch, stacked heatmaps otherwise.
-
-    ``pallas_requant``: allow the fused Pallas requantize epilogue on
-    layers where XLA's lowering is the pathology (auto per-layer grid
-    heuristic; bit-identical output).  Keep False for programs that
-    must ``jax.export`` portably — Mosaic custom calls pin the bundle
-    to the lowering platform."""
+    Pure XLA (no custom calls), so programs ``jax.export`` portably and
+    GSPMD can auto-partition them over a mesh."""
     ql = qtree["qlayers"]
     meta = static.layer_meta
 
     def run(module, layer, parts):
         path = f"{module}/{layer}"
-        return _qconv(parts, ql[path], meta[path], pallas_requant)
+        return _qconv(parts, ql[path], meta[path])
 
     # lossless input quantization: X = u8 - 128 (see ``quantize``)
     xq = jnp.clip(jnp.round(x / static.input_a - static.input_z),
@@ -463,12 +444,12 @@ def quant_apply(static: QuantStatic, qtree, x,
     return jnp.stack([h[0] for h in heads], axis=0)
 
 
-def make_quant_apply(static: QuantStatic, pallas_requant: bool = False):
+def make_quant_apply(static: QuantStatic):
     """``(qtree, x) -> maps`` closure matching the ``model.apply``
     signature detectors dispatch through."""
 
     def apply_fn(variables, x):
-        return quant_apply(static, variables, x, pallas_requant)
+        return quant_apply(static, variables, x)
 
     return apply_fn
 
