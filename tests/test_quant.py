@@ -425,6 +425,180 @@ class TestPallasRequant:
             np.testing.assert_array_equal(got, want)
 
 
+def _qconv_xla_ref(parts, kernels, mults, bias, relu=True):
+    """The shipped ``quant.py::_qconv`` epilogue expression, NumPy-level
+    reference for the Pallas conv kernel's fused twin."""
+    from jax import lax
+
+    y = None
+    for x, k, m in zip(parts, kernels, mults):
+        acc = lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(k), window_strides=(1, 1),
+            padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        part = np.asarray(acc).astype(np.float32) * m
+        y = part if y is None else y + part
+    y = y + bias
+    if relu:
+        y = np.maximum(y, 0.0)
+    return np.clip(np.round(y), 0.0, 127.0).astype(np.int8)
+
+
+class TestPallasConv7:
+    """Fused s8 7x7 conv + requantize (``ops/pallas/conv7.py``): exact
+    vs the XLA ``quant.py::_qconv`` expression, interpret mode on CPU —
+    the same kernel code Mosaic lowers on TPU.  The integer conv is
+    exact by construction (zero-padded lanes/sublanes contribute zero);
+    the f32 epilogue is the identical expression in the identical
+    order."""
+
+    def test_single_group_unaligned_grid_batched(self):
+        """23x23 (sublane-unaligned, the 184px-scale stage grid), batch
+        2 so the batch grid dimension is exercised."""
+        from tpupose.ops.pallas.conv7 import conv7_s8
+
+        rng = np.random.RandomState(0)
+        x = rng.randint(0, 128, (2, 23, 23, 128)).astype(np.int8)
+        k = rng.randint(-127, 128, (7, 7, 128, 128)).astype(np.int8)
+        m = (np.abs(rng.randn(128)) * 1e-4 + 1e-5).astype(np.float32)
+        b = rng.randn(128).astype(np.float32) * 0.01
+        want = _qconv_xla_ref((x,), (k,), (m,), b)
+        got = np.asarray(conv7_s8((x,), (k,), (m,), b, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_multi_group_refine_entry(self):
+        """The Mconv1 case: 38+19+128 channel concat members at separate
+        activation scales — per-group s32 accumulation combined in f32,
+        channels zero-padded to the 128-lane width in-kernel."""
+        from tpupose.ops.pallas.conv7 import conv7_s8
+
+        rng = np.random.RandomState(1)
+        chs = (38, 19, 128)
+        parts = tuple(rng.randint(0, 128, (1, 46, 46, c)).astype(np.int8)
+                      for c in chs)
+        ks = tuple(rng.randint(-127, 128, (7, 7, c, 128)).astype(np.int8)
+                   for c in chs)
+        ms = tuple((np.abs(rng.randn(128)) * 1e-4 + 1e-5).astype(np.float32)
+                   for _ in chs)
+        b = rng.randn(128).astype(np.float32) * 0.01
+        want = _qconv_xla_ref(parts, ks, ms, b)
+        got = np.asarray(conv7_s8(parts, ks, ms, b, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_row_tiling_above_max_tile(self):
+        """A grid tall enough that output rows split into several tiles
+        (92x92: the 736px scale's stage grid; 9016 rows -> 9 tiles) —
+        run at reduced channel width to keep the CPU interpreter fast."""
+        from tpupose.ops.pallas.conv7 import conv7_s8
+
+        rng = np.random.RandomState(2)
+        x = rng.randint(0, 128, (1, 92, 92, 8)).astype(np.int8)
+        k = rng.randint(-127, 128, (7, 7, 8, 128)).astype(np.int8)
+        m = (np.abs(rng.randn(128)) * 1e-4 + 1e-5).astype(np.float32)
+        b = rng.randn(128).astype(np.float32) * 0.01
+        want = _qconv_xla_ref((x,), (k,), (m,), b)
+        got = np.asarray(conv7_s8((x,), (k,), (m,), b, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_layer_heuristic(self):
+        from tpupose.ops.pallas.conv7 import use_for_layer
+
+        assert use_for_layer(7, 23, 23, 128)       # the measured 19.5x win
+        assert use_for_layer(7, 32, 32, 128)
+        assert not use_for_layer(7, 46, 46, 128)   # XLA wins >=46 (measured)
+        assert not use_for_layer(7, 92, 92, 128)
+        assert not use_for_layer(3, 23, 23, 256)   # 3x3: XLA already fast
+        assert not use_for_layer(1, 23, 23, 128)   # heads are matmuls
+        assert not use_for_layer(7, 23, 23, 38)    # lanes underfilled
+
+
+class TestConv7Integration:
+    """``conv7_impl`` wiring: quant_apply routing, the detector's
+    live/portable forward twins, and export portability (the Mosaic
+    kernel must never reach a ``jax.export`` bundle)."""
+
+    def test_quant_apply_impls_bit_identical_end_to_end(self):
+        """All three conv7 implementations over the FULL quantized net,
+        bit for bit, at a sublane-unaligned small grid (88x104 input ->
+        11x13 stage maps routes every refine 7x7, including the
+        multi-group concat entry)."""
+        from tpupose.quant import calibrate_ranges, quant_apply, quantize
+
+        det = PoseDetector("posenet", cfg=SMALL_CFG)
+        rng = np.random.RandomState(15)
+        img = rng.randint(0, 255, (88, 104, 3), np.uint8)
+        ranges = calibrate_ranges(det.model, det.variables,
+                                  preprocess_u8(jnp.asarray(img))[None])
+        qtree, static = quantize("posenet", det.variables, ranges)
+
+        x = preprocess_u8(jnp.asarray(img))[None]
+        pafs_x, hms_x = jax.jit(
+            lambda v, x: quant_apply(static, v, x))(qtree, x)
+        for impl in ("im2col", "pallas"):
+            pafs_i, hms_i = jax.jit(
+                lambda v, x, impl=impl: quant_apply(static, v, x, impl))(
+                qtree, x)
+            np.testing.assert_array_equal(np.asarray(pafs_x),
+                                          np.asarray(pafs_i), err_msg=impl)
+            np.testing.assert_array_equal(np.asarray(hms_x),
+                                          np.asarray(hms_i), err_msg=impl)
+
+    def test_detector_pallas_live_matches_portable_and_exports(
+            self, tmp_path):
+        """A live detector quantized with conv7_impl='pallas' serves the
+        same poses as the plain-XLA twin; bundle export swaps to the
+        portable forward (no Mosaic custom calls in the bundle) and the
+        loaded bundle reproduces it."""
+        from tpupose.serving import ServingPoseDetector, save_bundle
+
+        rng = np.random.RandomState(16)
+        img = rng.randint(0, 255, (64, 80, 3), np.uint8)
+        det = _calibrated_small_detector(rng, img)
+        host = jax.device_get(det.variables)
+        det_xla = PoseDetector("posenet", cfg=SMALL_CFG, params=host)
+
+        det.quantize([img], conv7_impl="pallas")
+        det_xla.quantize([img])  # CPU default: plain XLA, twins identical
+        assert det._apply is not det._apply_portable
+        assert det_xla._apply is det_xla._apply_portable
+
+        want_poses, want_scores = det_xla(img)
+        got_poses, got_scores = det(img)
+        np.testing.assert_array_equal(got_poses, want_poses)
+        np.testing.assert_array_equal(got_scores, want_scores)
+
+        path = str(tmp_path / "conv7_bundle")
+        save_bundle(det, path, [img.shape[:2]], platforms=("cpu",))
+        # live seam restored after export
+        assert det._apply is not det._apply_portable
+        srv = ServingPoseDetector(path)
+        srv_poses, srv_scores = srv(img)
+        np.testing.assert_array_equal(srv_poses, want_poses)
+        np.testing.assert_array_equal(srv_scores, want_scores)
+
+    def test_quantize_default_is_xla_off_tpu(self):
+        """On a CPU backend the default resolves to plain XLA (the
+        interpreter-mode kernel is correct but slow) and the portable
+        twin IS the live forward."""
+        rng = np.random.RandomState(17)
+        img = rng.randint(0, 255, (64, 80, 3), np.uint8)
+        det = PoseDetector("posenet", cfg=SMALL_CFG)
+        det.quantize([img])
+        assert det._apply is det._apply_portable
+
+    def test_quantize_mesh_rejects_non_xla(self):
+        """GSPMD keeps spatial sharding only through plain convs: a
+        meshed detector must refuse the pallas/im2col routings."""
+        from tpupose.parallel import make_mesh
+
+        rng = np.random.RandomState(18)
+        img = rng.randint(0, 255, (64, 80, 3), np.uint8)
+        det = PoseDetector("posenet", cfg=SMALL_CFG,
+                           mesh=make_mesh(n_data=4, n_spatial=2))
+        with pytest.raises(ValueError, match="mesh"):
+            det.quantize([img], conv7_impl="pallas")
+
+
 class TestQuantMesh:
     def test_quantized_detect_batch_on_mesh_matches_meshless(self):
         """The int8 forward is plain XLA convs (no custom calls), so GSPMD

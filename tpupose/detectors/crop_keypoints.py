@@ -72,6 +72,13 @@ class CropKeypointDetector:
         # by ``quantize()`` for the w8a8 int8-MXU forward (tpupose/quant.py).
         # Late-binds self.model so tests may stub it after construction.
         self._apply = lambda variables, x: self.model.apply(variables, x)
+        # Export-portable twin (``detectors/portable.py``): the crop nets
+        # run at the fixed crop insize (stage grids 46x46, above the
+        # conv7 crossover — ``ops/pallas/conv7.py::use_for_layer``), so
+        # no layer ever routes to the Mosaic kernel and the twin is
+        # always the same function; kept so ``portable_programs`` works
+        # uniformly across detector classes.
+        self._apply_portable = self._apply
         self.quantized = False
         self._fns: Dict[tuple, object] = {}
 
@@ -94,6 +101,7 @@ class CropKeypointDetector:
         qtree, static = quantize(self.arch, self.variables, ranges)
         self.variables = commit_variables(qtree)
         self._apply = make_quant_apply(static)
+        self._apply_portable = self._apply
         self.quantized = True
         self._clear_program_caches()
 

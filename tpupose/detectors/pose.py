@@ -140,6 +140,13 @@ class PoseDetector:
         # by ``quantize()`` for the w8a8 int8-MXU forward (tpupose/quant.py).
         # Late-binds self.model so tests may stub it after construction.
         self._apply = lambda variables, x: self.model.apply(variables, x)
+        # Export-portable twin of ``_apply``: identical semantics but free
+        # of Pallas custom calls, so ``jax.export`` bundles stay
+        # multi-platform (``serving.py`` swaps to it via
+        # ``portable_programs``).  Diverges from ``_apply`` only when
+        # ``quantize()`` routes small-grid 7x7 layers through the Mosaic
+        # conv kernel.
+        self._apply_portable = self._apply
         self.quantized = False
         self._quant_min_side = 0
         # prefix of the self-describing XLA module names (profiler traces
@@ -153,7 +160,8 @@ class PoseDetector:
         self._warned_saturation = False
 
     def quantize(self, calib_images, size: Optional[int] = None,
-                 min_side: Optional[int] = None) -> None:
+                 min_side: Optional[int] = None,
+                 conv7_impl: Optional[str] = None) -> None:
         """Switch this detector to post-training w8a8 int8 inference.
 
         ``calib_images``: a few serving-representative HWC uint8 frames
@@ -163,18 +171,27 @@ class PoseDetector:
         APIs are unchanged.  New capability beyond the reference (no
         quantization support in ``/root/reference``).
 
+        ``conv7_impl``: implementation for the 7x7 s8 convs at small
+        (<=32 px) stage grids, where XLA's conv emitter runs at 2.5% of
+        int8 peak (BASELINE.md round 5 "conv7 kernel"; all three are
+        bit-identical): ``"pallas"`` — the fused Mosaic kernel, 19.5x at
+        23x23; ``"im2col"`` — pure-XLA patch matmul, 7.8x, export-safe;
+        ``"xla"`` — plain convs.  Default ``None`` picks ``"pallas"`` on
+        a mesh-less TPU backend and ``"xla"`` otherwise (GSPMD keeps
+        spatial sharding only through plain convs; off-TPU the
+        interpreter-mode kernel is correct but slow).  Exports
+        (``serving.py``) always trace the portable twin — ``"im2col"``
+        when live is ``"pallas"`` — via ``portable_programs``.
+
         ``min_side``: mixed-precision threshold — programs whose network
         input's short side is below it keep the bit-exact f32 forward
         (the f32 tree stays resident next to the int8 one; jit prunes
         whichever subtree a program doesn't read, so per-program dispatch
         cost is unchanged).  Default: ``cfg.quant_min_side`` for precise
         detectors (the v5e-measured int8 win/loss crossover — the
-        precise pyramid's 184px scale is 2.6x SLOWER quantized while
-        >=368px is 1.08-1.25x faster, BASELINE.md round 4; a Pallas
-        requant epilogue built to close that 184px gap measured out a
-        kernel-level negative result — BASELINE.md round 5,
-        ``ops/pallas/requant.py`` — so mixed precision IS the shipped
-        answer); 0 (quantize everything, no f32 tree kept) for
+        precise pyramid's 184px scale is 2.6x SLOWER quantized under
+        plain-XLA convs while >=368px is 1.08-1.25x faster, BASELINE.md
+        round 4); 0 (quantize everything, no f32 tree kept) for
         fast-path detectors, whose ~368px geometry is always above the
         crossover."""
         import cv2
@@ -184,6 +201,15 @@ class PoseDetector:
 
         if self.quantized:
             raise ValueError("detector is already quantized")
+        if conv7_impl is None:
+            conv7_impl = ("pallas" if (jax.default_backend() == "tpu"
+                                       and self.mesh is None) else "xla")
+        if conv7_impl not in ("xla", "im2col", "pallas"):
+            raise ValueError(f"unknown conv7_impl {conv7_impl!r}")
+        if self.mesh is not None and conv7_impl != "xla":
+            raise ValueError(
+                "conv7_impl must be 'xla' on a meshed detector: GSPMD "
+                "keeps spatial sharding only through plain convs")
         if min_side is None:
             min_side = self.cfg.quant_min_side if self.precise else 0
         size = size or self.cfg.img_size
@@ -193,7 +219,10 @@ class PoseDetector:
         ranges = calibrate_ranges(self.model, self.variables,
                                   preprocess_u8(jnp.asarray(frames)))
         qtree, static = quantize(self.arch, self.variables, ranges)
-        quant_apply = make_quant_apply(static)
+        quant_apply = make_quant_apply(static, conv7_impl)
+        portable_impl = "im2col" if conv7_impl == "pallas" else conv7_impl
+        quant_apply_portable = (quant_apply if portable_impl == conv7_impl
+                                else make_quant_apply(static, portable_impl))
         if min_side:
             # Mixed tree: the int8 layers plus the full f32 params under
             # "f32".  One pytree keeps every call site / serving-bundle
@@ -204,21 +233,39 @@ class PoseDetector:
             qtree["f32"] = self.variables
             model = self.model
 
-            def mixed_apply(variables, x):
-                # x's shape is static at trace time: each program picks
-                # its forward once, at trace — no device-side branch.
-                if min(x.shape[1], x.shape[2]) >= min_side:
-                    return quant_apply(variables, x)
-                return model.apply(variables["f32"], x)
+            def make_mixed(qapply):
+                def mixed_apply(variables, x):
+                    # x's shape is static at trace time: each program
+                    # picks its forward once, at trace — no device-side
+                    # branch.
+                    if min(x.shape[1], x.shape[2]) >= min_side:
+                        return qapply(variables, x)
+                    return model.apply(variables["f32"], x)
 
-            self._apply = mixed_apply
+                return mixed_apply
+
+            self._apply = make_mixed(quant_apply)
+            self._apply_portable = (
+                self._apply if quant_apply_portable is quant_apply
+                else make_mixed(quant_apply_portable))
         else:
             self._apply = quant_apply
+            self._apply_portable = quant_apply_portable
         self.variables = commit_variables(qtree, mesh=self.mesh)
         self.quantized = True
         self._quant_min_side = min_side
         self._program_prefix = "poseq"
         self._clear_program_caches()
+
+    def portable_programs(self):
+        """Context manager: temporarily route every traced body through
+        the export-portable forward (no Pallas custom calls), so
+        ``jax.export`` bundles stay multi-platform even when the live
+        detector runs the fused Mosaic conv kernel
+        (``detectors/portable.py``)."""
+        from tpupose.detectors.portable import portable_programs
+
+        return portable_programs(self)
 
     def _clear_program_caches(self) -> None:
         self._fast_fns.clear()

@@ -354,24 +354,80 @@ class QuantStatic:
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _qconv(parts, spec, meta):
+def _im2col_acc_s8(xq, kq):
+    """s8 7x7 SAME conv as ONE patch matmul: 49 shifted slices of the
+    zero-padded input concatenated on channels (pure data movement),
+    then a single (B*H*W, 49C) @ (49C, O) s8 x s8 -> s32 dot.  Integer
+    accumulation — bit-identical to ``lax.conv_general_dilated``; pure
+    XLA, so it exports portably and shards under GSPMD.  Measured 7.8x
+    faster than XLA's s8 conv at the 23x23 pathology grid (and SLOWER
+    >=46x46 — route via ``use_for_layer`` only): BASELINE.md round 5
+    "conv7 kernel"."""
+    bsz, h, w, c = xq.shape
+    o = kq.shape[-1]
+    xp = jnp.pad(xq, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    cols = [xp[:, dy:dy + h, dx:dx + w, :]
+            for dy in range(7) for dx in range(7)]
+    patches = jnp.concatenate(cols, axis=-1).reshape(bsz * h * w, 49 * c)
+    acc = lax.dot_general(patches, kq.reshape(49 * c, o),
+                          (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    return acc.reshape(bsz, h, w, o)
+
+
+def _route_conv7(parts, spec, meta, conv7_impl: str) -> bool:
+    """True when this layer's s8 conv should leave XLA's conv emitter:
+    7x7 window at a measured-pathological small grid
+    (``ops/pallas/conv7.py::use_for_layer`` — the crossover is
+    max(h, w) <= 32; at >=46 XLA already runs ~65% of int8 peak)."""
+    if conv7_impl == "xla" or meta["ksize"] != 7 or meta["f32_out"]:
+        return False
+    from tpupose.ops.pallas.conv7 import use_for_layer
+
+    _, h, w, _ = parts[0].shape
+    return use_for_layer(7, h, w, int(spec["kernel_q"][0].shape[-1]))
+
+
+def _qconv(parts, spec, meta, conv7_impl: str = "xla"):
     """One quantized conv layer: tuple of s8 NHWC input groups (the
     refine-stage concat members; 1-tuple everywhere else) -> s8 (or f32
     head) out.  Each group runs its own s8xs8->s32 accumulation (same
     total MACs as the concatenated conv) with the conv's NATIVE SAME
     zero padding (exact: zero-points are 0 — see module docstring), and
     the XLA-fused epilogue combines them with the folded scales/bias.
-    A fused Pallas requantize epilogue was built, measured, and
-    REJECTED: parity-at-best on the refine shapes and ~20x slower on
-    the stem shapes the grid heuristic would also have caught —
-    ``ops/pallas/requant.py`` (kernel kept as the recorded negative
-    result), BASELINE.md round 5."""
-    accs = [
-        lax.conv_general_dilated(
-            xq, kq, window_strides=(1, 1), padding="SAME",
-            dimension_numbers=_DN, preferred_element_type=jnp.int32)
-        for xq, kq in zip(parts, spec["kernel_q"])
-    ]
+
+    ``conv7_impl`` selects the implementation for 7x7 layers at
+    small (<=32 px) grids ONLY — XLA's s8 conv emitter runs them at
+    2.5% of int8 peak (BASELINE.md round 5 "conv7 kernel"):
+
+    * ``"xla"``    — plain conv everywhere (portable, GSPMD-safe;
+      keeps spatial sharding intact on meshes).
+    * ``"im2col"`` — patch-matmul reformulation, still pure XLA
+      (7.8x at 23x23; exports portably) — the serving-bundle twin.
+    * ``"pallas"`` — the fused Mosaic kernel ``ops/pallas/conv7.py``
+      (19.5x at 23x23), bit-identical, live TPU detectors only
+      (Mosaic custom calls pin ``jax.export`` to one platform).
+
+    All three are BIT-IDENTICAL (integer accumulation + the same f32
+    epilogue expression in the same order; asserted on the TPU by
+    ``scripts/conv7_probe.py`` and in tests).  A fused Pallas
+    requantize-only epilogue was separately built, measured, and
+    REJECTED (parity-at-best; ``ops/pallas/requant.py``)."""
+    if _route_conv7(parts, spec, meta, conv7_impl):
+        if conv7_impl == "pallas":
+            from tpupose.ops.pallas.conv7 import conv7_s8
+
+            return conv7_s8(parts, spec["kernel_q"], spec["mult"],
+                            spec["bias_eff"], relu=meta["relu"])
+        accs = [_im2col_acc_s8(xq, kq)
+                for xq, kq in zip(parts, spec["kernel_q"])]
+    else:
+        accs = [
+            lax.conv_general_dilated(
+                xq, kq, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=_DN, preferred_element_type=jnp.int32)
+            for xq, kq in zip(parts, spec["kernel_q"])
+        ]
     y = None
     for acc, mult in zip(accs, spec["mult"]):
         part = acc.astype(jnp.float32) * mult
@@ -395,18 +451,21 @@ def _quant_sym(x_f32, a_to):
     return jnp.clip(jnp.round(x_f32 / a_to), -128.0, 127.0).astype(jnp.int8)
 
 
-def quant_apply(static: QuantStatic, qtree, x):
+def quant_apply(static: QuantStatic, qtree, x, conv7_impl: str = "xla"):
     """Quantized forward matching ``model.apply(variables, x)``:
     normalized f32 (B, H, W, 3) in, stacked per-stage f32 maps out —
     ``(pafs, heatmaps)`` for two-branch, stacked heatmaps otherwise.
-    Pure XLA (no custom calls), so programs ``jax.export`` portably and
-    GSPMD can auto-partition them over a mesh."""
+    With the default ``conv7_impl="xla"`` (and also ``"im2col"``) the
+    program is pure XLA (no custom calls), so it ``jax.export``s
+    portably and GSPMD can auto-partition it over a mesh;
+    ``"pallas"`` routes small-grid 7x7 layers through the Mosaic
+    kernel — live TPU detectors only (see ``_qconv``)."""
     ql = qtree["qlayers"]
     meta = static.layer_meta
 
     def run(module, layer, parts):
         path = f"{module}/{layer}"
-        return _qconv(parts, ql[path], meta[path])
+        return _qconv(parts, ql[path], meta[path], conv7_impl)
 
     # lossless input quantization: X = u8 - 128 (see ``quantize``)
     xq = jnp.clip(jnp.round(x / static.input_a - static.input_z),
@@ -444,12 +503,12 @@ def quant_apply(static: QuantStatic, qtree, x):
     return jnp.stack([h[0] for h in heads], axis=0)
 
 
-def make_quant_apply(static: QuantStatic):
+def make_quant_apply(static: QuantStatic, conv7_impl: str = "xla"):
     """``(qtree, x) -> maps`` closure matching the ``model.apply``
     signature detectors dispatch through."""
 
     def apply_fn(variables, x):
-        return quant_apply(static, variables, x)
+        return quant_apply(static, variables, x, conv7_impl)
 
     return apply_fn
 

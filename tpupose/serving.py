@@ -45,6 +45,7 @@ import numpy as np
 
 from tpupose.config import INFERENCE, InferenceConfig
 from tpupose.detectors.pose import PoseDetector, emit_result
+from tpupose.detectors.portable import portable_programs
 from tpupose.ops.postprocess import PoseResult
 from tpupose.ops.resize import compute_optimal_size
 from tpupose.weights.chainer_npz import commit_variables
@@ -114,80 +115,84 @@ def save_bundle(det: PoseDetector, path: str,
         return name
 
     geoms: Dict[str, dict] = {}
-    for orig_h, orig_w in image_sizes:
-        key = f"{orig_h}x{orig_w}"
-        if det.precise:
-            post_hw = det._postprocess_hw(orig_h, orig_w)
-            img_spec = jax.ShapeDtypeStruct((orig_h, orig_w, 3), jnp.uint8)
-            scale_files = []
-            for k, (scale, scaled_hw, padded_hw) in enumerate(
-                    det._pyramid_geometries(orig_h, orig_w)):
-                fn = det._device_scale_fn(post_hw, scaled_hw, padded_hw)
-                exported = jax.export.export(fn, platforms=list(platforms))(
-                    var_specs, img_spec)
-                scale_files.append(write(
-                    exported, f"precise_{key}_scale{k}.jexp"))
-            n = len(det.cfg.scales)
-            paf_spec = [jax.ShapeDtypeStruct(
-                (post_hw[0], post_hw[1], 38), jnp.float32)] * n
-            hm_spec = [jax.ShapeDtypeStruct(
-                (post_hw[0], post_hw[1], 19), jnp.float32)] * n
-            avg = jax.export.export(
-                det._avg_postprocess_fn(post_hw, n),
-                platforms=list(platforms))(paf_spec, hm_spec)
-            geoms[key] = {
-                "scale_programs": scale_files,
-                "avg_program": write(avg, f"precise_{key}_avg.jexp"),
-                "post_hw": list(post_hw),
-            }
-            batched: Dict[str, dict] = {}
-            for b in batch_sizes:
-                bimg_spec = jax.ShapeDtypeStruct(
-                    (b, orig_h, orig_w, 3), jnp.uint8)
-                bscale_files = []
+    # Exports trace the portable (XLA-only) forward: Mosaic custom
+    # calls would pin the bundle to the lowering platform
+    # (detectors/portable.py).
+    with portable_programs(det):
+        for orig_h, orig_w in image_sizes:
+            key = f"{orig_h}x{orig_w}"
+            if det.precise:
+                post_hw = det._postprocess_hw(orig_h, orig_w)
+                img_spec = jax.ShapeDtypeStruct((orig_h, orig_w, 3), jnp.uint8)
+                scale_files = []
                 for k, (scale, scaled_hw, padded_hw) in enumerate(
                         det._pyramid_geometries(orig_h, orig_w)):
-                    fn = det._batch_scale_fn(b, post_hw, scaled_hw,
-                                             padded_hw)
-                    exported = jax.export.export(
-                        fn, platforms=list(platforms))(var_specs, bimg_spec)
-                    bscale_files.append(write(
-                        exported, f"precise_{key}_b{b}_scale{k}.jexp"))
-                bpaf = [jax.ShapeDtypeStruct(
-                    (b, post_hw[0], post_hw[1], 38), jnp.float32)] * n
-                bhm = [jax.ShapeDtypeStruct(
-                    (b, post_hw[0], post_hw[1], 19), jnp.float32)] * n
-                bavg = jax.export.export(
-                    det._batch_avg_postprocess_fn(post_hw, n, b),
-                    platforms=list(platforms))(bpaf, bhm)
-                batched[str(b)] = {
-                    "scale_programs": bscale_files,
-                    "avg_program": write(
-                        bavg, f"precise_{key}_b{b}_avg.jexp"),
+                    fn = det._device_scale_fn(post_hw, scaled_hw, padded_hw)
+                    exported = jax.export.export(fn, platforms=list(platforms))(
+                        var_specs, img_spec)
+                    scale_files.append(write(
+                        exported, f"precise_{key}_scale{k}.jexp"))
+                n = len(det.cfg.scales)
+                paf_spec = [jax.ShapeDtypeStruct(
+                    (post_hw[0], post_hw[1], 38), jnp.float32)] * n
+                hm_spec = [jax.ShapeDtypeStruct(
+                    (post_hw[0], post_hw[1], 19), jnp.float32)] * n
+                avg = jax.export.export(
+                    det._avg_postprocess_fn(post_hw, n),
+                    platforms=list(platforms))(paf_spec, hm_spec)
+                geoms[key] = {
+                    "scale_programs": scale_files,
+                    "avg_program": write(avg, f"precise_{key}_avg.jexp"),
+                    "post_hw": list(post_hw),
                 }
-            if batched:
-                geoms[key]["batched"] = batched
-        else:
-            in_hw, map_hw = _geometry(det.cfg, orig_h, orig_w)
-            fn = det._fast_fn(in_hw, map_hw)
-            img_spec = jax.ShapeDtypeStruct(
-                (in_hw[0], in_hw[1], 3), jnp.uint8)
-            exported = jax.export.export(fn, platforms=list(platforms))(
-                var_specs, img_spec)
-            geoms[key] = {
-                "program": write(exported, f"fast_{key}.jexp"),
-                "in_hw": list(in_hw), "map_hw": list(map_hw)}
-            batched = {}
-            for b in batch_sizes:
-                bimg_spec = jax.ShapeDtypeStruct(
-                    (b, in_hw[0], in_hw[1], 3), jnp.uint8)
-                exported = jax.export.export(
-                    det._batch_fn(b, in_hw, map_hw),
-                    platforms=list(platforms))(var_specs, bimg_spec)
-                batched[str(b)] = {
-                    "program": write(exported, f"fast_{key}_b{b}.jexp")}
-            if batched:
-                geoms[key]["batched"] = batched
+                batched: Dict[str, dict] = {}
+                for b in batch_sizes:
+                    bimg_spec = jax.ShapeDtypeStruct(
+                        (b, orig_h, orig_w, 3), jnp.uint8)
+                    bscale_files = []
+                    for k, (scale, scaled_hw, padded_hw) in enumerate(
+                            det._pyramid_geometries(orig_h, orig_w)):
+                        fn = det._batch_scale_fn(b, post_hw, scaled_hw,
+                                                 padded_hw)
+                        exported = jax.export.export(
+                            fn, platforms=list(platforms))(var_specs, bimg_spec)
+                        bscale_files.append(write(
+                            exported, f"precise_{key}_b{b}_scale{k}.jexp"))
+                    bpaf = [jax.ShapeDtypeStruct(
+                        (b, post_hw[0], post_hw[1], 38), jnp.float32)] * n
+                    bhm = [jax.ShapeDtypeStruct(
+                        (b, post_hw[0], post_hw[1], 19), jnp.float32)] * n
+                    bavg = jax.export.export(
+                        det._batch_avg_postprocess_fn(post_hw, n, b),
+                        platforms=list(platforms))(bpaf, bhm)
+                    batched[str(b)] = {
+                        "scale_programs": bscale_files,
+                        "avg_program": write(
+                            bavg, f"precise_{key}_b{b}_avg.jexp"),
+                    }
+                if batched:
+                    geoms[key]["batched"] = batched
+            else:
+                in_hw, map_hw = _geometry(det.cfg, orig_h, orig_w)
+                fn = det._fast_fn(in_hw, map_hw)
+                img_spec = jax.ShapeDtypeStruct(
+                    (in_hw[0], in_hw[1], 3), jnp.uint8)
+                exported = jax.export.export(fn, platforms=list(platforms))(
+                    var_specs, img_spec)
+                geoms[key] = {
+                    "program": write(exported, f"fast_{key}.jexp"),
+                    "in_hw": list(in_hw), "map_hw": list(map_hw)}
+                batched = {}
+                for b in batch_sizes:
+                    bimg_spec = jax.ShapeDtypeStruct(
+                        (b, in_hw[0], in_hw[1], 3), jnp.uint8)
+                    exported = jax.export.export(
+                        det._batch_fn(b, in_hw, map_hw),
+                        platforms=list(platforms))(var_specs, bimg_spec)
+                    batched[str(b)] = {
+                        "program": write(exported, f"fast_{key}_b{b}.jexp")}
+                if batched:
+                    geoms[key]["batched"] = batched
 
     meta = {
         "arch": det.arch,
