@@ -646,6 +646,11 @@ def main(argv=None) -> None:
                         "the --trace run builds (quant-only halves compile "
                         "time when the f32 rows are already recorded; "
                         "program tables MERGE across runs)")
+    p.add_argument("--quant-min-side", type=int, default=None,
+                   help="min_side passed to quantize() for the quant "
+                        "detectors (default: the detector's own default; "
+                        "0 = fully quantized pyramid incl. the 184px "
+                        "scale — measure before flipping defaults)")
     args = p.parse_args(argv)
 
     def merge_detail(update: dict) -> None:
@@ -692,8 +697,10 @@ def main(argv=None) -> None:
             if tag == "quant":
                 # int8 (w8a8) twins: programs carry the poseq_* prefix
                 # so the trace separates them from the f32 rows
-                dp.quantize(distinct_frames(img, 2))
-                df.quantize(distinct_frames(img, 2))
+                dp.quantize(distinct_frames(img, 2),
+                            min_side=args.quant_min_side)
+                df.quantize(distinct_frames(img, 2),
+                            min_side=args.quant_min_side)
             for _ in range(2):  # compile + settle
                 dp(img)
                 df(img)

@@ -365,6 +365,20 @@ class TestQuantMixed:
         assert det_fast._quant_min_side == 0
         assert "f32" not in det_fast.variables
 
+    def test_precise_default_pure_int8_when_conv7_accelerated(self):
+        """With an accelerated small-grid 7x7 routing the mixed-precision
+        workaround is obsolete: min_side defaults to 0 and no f32 shadow
+        tree is kept (the conv7'd 184px-class scale beats its f32 twin
+        2x on the v5e — BASELINE.md round 5)."""
+        rng = np.random.RandomState(19)
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        cfg = dataclasses.replace(SMALL_CFG, scales=(0.5, 1.0),
+                                  quant_min_side=48)
+        det = PoseDetector("posenet", cfg=cfg, precise=True)
+        det.quantize([img], conv7_impl="im2col")
+        assert det._quant_min_side == 0
+        assert "f32" not in det.variables
+
     def test_mixed_bundle_round_trips(self, tmp_path):
         """A mixed-precision bundle carries BOTH trees; the loaded bundle
         reproduces the live mixed detector exactly."""

@@ -187,13 +187,15 @@ class PoseDetector:
         input's short side is below it keep the bit-exact f32 forward
         (the f32 tree stays resident next to the int8 one; jit prunes
         whichever subtree a program doesn't read, so per-program dispatch
-        cost is unchanged).  Default: ``cfg.quant_min_side`` for precise
-        detectors (the v5e-measured int8 win/loss crossover — the
-        precise pyramid's 184px scale is 2.6x SLOWER quantized under
-        plain-XLA convs while >=368px is 1.08-1.25x faster, BASELINE.md
-        round 4); 0 (quantize everything, no f32 tree kept) for
-        fast-path detectors, whose ~368px geometry is always above the
-        crossover."""
+        cost is unchanged).  Default: 0 (quantize everything, no f32
+        tree kept) whenever the small-grid 7x7 routing is accelerated —
+        with the conv7 kernel the 184px scale runs 1.09 ms quantized vs
+        2.20 f32 vs 5.80 plain-XLA-int8, trace row in BASELINE.md
+        round 5 — and for fast-path detectors, whose ~368px geometry
+        has no pathological grids; ``cfg.quant_min_side`` only for
+        precise detectors stuck on plain-XLA convs (meshes / CPU,
+        where the round-4 crossover still holds: the 184px scale is
+        2.6x slower quantized there)."""
         import cv2
 
         from tpupose.quant import (calibrate_ranges, make_quant_apply,
@@ -211,7 +213,8 @@ class PoseDetector:
                 "conv7_impl must be 'xla' on a meshed detector: GSPMD "
                 "keeps spatial sharding only through plain convs")
         if min_side is None:
-            min_side = self.cfg.quant_min_side if self.precise else 0
+            min_side = (self.cfg.quant_min_side
+                        if self.precise and conv7_impl == "xla" else 0)
         size = size or self.cfg.img_size
         frames = np.stack([
             cv2.resize(np.asarray(img), (size, size))

@@ -29,7 +29,11 @@ Layout of a bundle directory::
 Note on Pallas: the fast-path peak finder auto-selects a Pallas kernel only
 on a TPU backend above ~256² map area (`ops.peaks.find_peaks`); a
 multi-platform export traces on the host backend, so bundles exported from a
-CPU box embed the (numerically identical) XLA peak path.
+CPU box embed the (numerically identical) XLA peak path.  Quantized
+detectors may additionally route small-grid 7x7 convs through the Mosaic
+conv kernel (`ops/pallas/conv7.py`) — exports ALWAYS swap to the
+bit-identical pure-XLA im2col twin via ``portable_programs`` below, so no
+bundle ever contains a Mosaic custom call.
 """
 
 from __future__ import annotations
