@@ -70,10 +70,21 @@ def main(argv=None) -> None:
                    help="--quant posenet: mixed-precision threshold — "
                         "programs with network inputs below this stay "
                         "f32 (the bundle then carries BOTH trees). "
-                        "Default: the detector's cfg.quant_min_side for "
-                        "--precise (the v5e-measured crossover keeps the "
-                        "184px pyramid scale f32), 0 (pure int8, lean "
-                        "bundle) for fast-path bundles")
+                        "Default: 0 (pure int8, lean bundle) whenever "
+                        "the small-grid 7x7 routing is accelerated — "
+                        "bundles embed the pure-XLA im2col twin, which "
+                        "beats the f32 184px scale (BASELINE.md round "
+                        "5 conv7) — else the detector's "
+                        "cfg.quant_min_side crossover for --precise")
+    p.add_argument("--conv7-impl", choices=("im2col", "xla"),
+                   default="im2col",
+                   help="--quant posenet: implementation for small-grid "
+                        "7x7 s8 convs in the exported programs. Default "
+                        "im2col (pure-XLA patch matmul, 7.8x over XLA's "
+                        "conv at the 23px pathology grids) so bundle "
+                        "content is deterministic regardless of the "
+                        "build box's backend; the live-only Mosaic "
+                        "kernel never reaches bundles either way")
     p.add_argument("--calib",
                    help="--quant: comma-separated image paths for "
                         "activation-range calibration (required with "
@@ -113,7 +124,8 @@ def main(argv=None) -> None:
         det = PoseDetector(args.arch, weights_file=args.weights, cfg=cfg,
                            precise=args.precise)
         if calib_imgs is not None:
-            det.quantize(calib_imgs, min_side=args.quant_min_side)
+            det.quantize(calib_imgs, min_side=args.quant_min_side,
+                         conv7_impl=args.conv7_impl)
         pose_batches = tuple(int(b) for b in args.pose_batches.split(",")
                              if b.strip())
         save_bundle(det, args.out, sizes, platforms=platforms,
